@@ -1,0 +1,136 @@
+"""Image style transfer CLI.
+
+Flag-compatible with the reference entry point
+(/root/reference/image_transfer.py:15-37):
+
+    python -m vstnet_tpu.cli.image_transfer \
+        --mode photorealistic --ckpoint checkpoints/photo_image.pt \
+        --content data/content/01.jpg --style data/style/01.jpg \
+        --out_dir output --max_size 1280 [--alpha_c A] \
+        [--auto_seg | --content_seg C.png --style_seg S.png] \
+        [--save_seg_label] [--save_seg_color] [--min_ratio R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="vstnet_tpu image style transfer")
+    p.add_argument("--mode", type=str, default="photorealistic",
+                   choices=["photorealistic", "artistic"])
+    p.add_argument("--ckpoint", type=str, default=None,
+                   help=".pt/.pth (reference format) or .msgpack (native)")
+    p.add_argument("--content", type=str, default="data/content/01.jpg")
+    p.add_argument("--style", type=str, default="data/style/01.jpg")
+    p.add_argument("--out_dir", type=str, default="output")
+    p.add_argument("--max_size", type=int, default=1280)
+    p.add_argument("--alpha_c", type=float, default=None)
+    # segmentation
+    p.add_argument("--content_seg", type=str, default=None)
+    p.add_argument("--style_seg", type=str, default=None)
+    p.add_argument("--auto_seg", action="store_true", default=False)
+    p.add_argument("--save_seg_label", action="store_true", default=True)
+    p.add_argument("--save_seg_color", action="store_true", default=True)
+    p.add_argument("--label_mapping", type=str, default=None,
+                   help="ade20k semantic relation .npy (defaults to bundled)")
+    p.add_argument("--palette", type=str, default=None)
+    p.add_argument("--min_ratio", type=float, default=0.02)
+    p.add_argument("--seg_ckpoint", type=str, default=None,
+                   help="SegFormer-B4 checkpoint for --auto_seg")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from vstnet_tpu.io.image import (
+        load_image,
+        load_segment_image,
+        save_image,
+    )
+    from vstnet_tpu.models.pipeline import StyleModel
+
+    if args.ckpoint:
+        if args.ckpoint.endswith(".msgpack"):
+            from vstnet_tpu.config import ARTISTIC_CONFIG, PHOTO_CONFIG
+            from vstnet_tpu.io.checkpoint import load_native
+
+            cfg = (PHOTO_CONFIG if args.mode == "photorealistic"
+                   else ARTISTIC_CONFIG)
+            model = StyleModel(cfg=cfg, params=load_native(args.ckpoint),
+                               mode=args.mode)
+        else:
+            model = StyleModel.from_checkpoint(args.ckpoint, args.mode)
+    else:
+        print("WARNING: no --ckpoint given; using random weights (smoke mode)")
+        model = StyleModel.random_init(mode=args.mode)
+
+    ds = model.cfg.down_scale
+    content = load_image(args.content, args.max_size, ds)
+    style = load_image(args.style, args.max_size, ds)
+
+    cmask = smask = None
+    if args.auto_seg:
+        from vstnet_tpu.models.segformer import Segmenter
+
+        seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
+                             label_mapping=args.label_mapping)
+        cmask = np.asarray(seg.segment(jnp.asarray(content)))
+        smask = np.asarray(seg.segment(jnp.asarray(style)))
+        cmask, smask = seg.remap(cmask, smask)
+        _maybe_save_seg(args, cmask, smask)
+    elif args.content_seg and args.style_seg:
+        cmask = load_segment_image(args.content_seg, content.shape[1:3])
+        smask = load_segment_image(args.style_seg, style.shape[1:3])
+
+    c = jnp.asarray(content)
+    s = jnp.asarray(style)
+    if cmask is not None:
+        out = model.stylize(c, s, jnp.asarray(cmask), jnp.asarray(smask))
+    elif args.alpha_c is not None:
+        if not 0.0 <= args.alpha_c <= 1.0:
+            raise SystemExit(
+                f"error: --alpha_c must be in [0, 1], got {args.alpha_c}")
+        out = model.stylize(c, s, alpha_c=args.alpha_c)
+    else:
+        out = model.stylize(c, s)
+
+    cn = os.path.splitext(os.path.basename(args.content))[0]
+    sn = os.path.splitext(os.path.basename(args.style))[0]
+    path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
+    save_image(np.asarray(out), path)
+    print(f"Save at {path}")
+    return path
+
+
+def _maybe_save_seg(args, cmask, smask):
+    if not (args.save_seg_label or args.save_seg_color):
+        return
+    from PIL import Image
+
+    seg_dir = os.path.join(args.out_dir, "segmentation")
+    os.makedirs(seg_dir, exist_ok=True)
+    if args.save_seg_label:
+        Image.fromarray(cmask[0].astype(np.uint8)).save(
+            os.path.join(seg_dir, "content_seg_label.png"))
+        Image.fromarray(smask[0].astype(np.uint8)).save(
+            os.path.join(seg_dir, "style_seg_label.png"))
+    if args.save_seg_color:
+        from vstnet_tpu.models.remapping import ade20k_palette
+
+        pal = ade20k_palette(args.palette)
+        for name, m in (("content", cmask), ("style", smask)):
+            color = pal[np.clip(m[0], 0, len(pal) - 1)]
+            Image.fromarray(color.astype(np.uint8)).save(
+                os.path.join(seg_dir, f"{name}_seg_color.png"))
+
+
+if __name__ == "__main__":
+    main()
