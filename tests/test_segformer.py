@@ -1,0 +1,181 @@
+"""SegFormer-B4 parity vs the reference torch implementation, and
+vectorized remapping parity vs SegReMapping."""
+
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vstnet_tpu.models.remapping import (
+    cross_remapping,
+    load_label_mapping,
+    self_remapping,
+)
+from vstnet_tpu.models.segformer import (
+    Segmenter,
+    backbone_features,
+    decode_head,
+    init_segformer,
+    segment_logits,
+    segformer_from_torch,
+)
+
+
+def _load_ref_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_segment():
+    # torchvision isn't in this image; the reference only uses its
+    # `normalize` inside SegmentModel.forward, which these tests don't call.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tf = types.ModuleType("torchvision.transforms")
+        tff = types.ModuleType("torchvision.transforms.functional")
+        tff.normalize = lambda x, mean, std: x
+        tf.functional = tff
+        tv.transforms = tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tf
+        sys.modules["torchvision.transforms.functional"] = tff
+    return _load_ref_module(
+        "ref_segment", "/root/reference/project/image_style/segment.py"
+    )
+
+
+@pytest.fixture(scope="module")
+def torch_pair(ref_segment):
+    """Random-weight reference backbone+head and the converted JAX params."""
+    torch.manual_seed(0)
+    backbone = ref_segment.mit_b4()
+    head = ref_segment.SegFormerHead(backbone.embedding_dim)
+    backbone.eval()
+    head.eval()
+    sd = {f"backbone.{k}": v.detach().numpy() for k, v in backbone.state_dict().items()}
+    sd.update(
+        {f"decode_head.{k}": v.detach().numpy() for k, v in head.state_dict().items()}
+    )
+    params = segformer_from_torch(sd)
+    return backbone, head, params
+
+
+def test_backbone_parity(torch_pair, rng):
+    backbone, _, params = torch_pair
+    x = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_feats = backbone(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    feats = backbone_features(params, jnp.asarray(x))
+    assert len(feats) == 4
+    for i, (ours, theirs) in enumerate(zip(feats, ref_feats)):
+        t = theirs.numpy().transpose(0, 2, 3, 1)
+        assert ours.shape == t.shape, f"stage {i}: {ours.shape} vs {t.shape}"
+        np.testing.assert_allclose(
+            np.asarray(ours), t, rtol=1e-3, atol=1e-4,
+            err_msg=f"stage {i} mismatch",
+        )
+
+
+def test_head_parity(torch_pair, rng):
+    backbone, head, params = torch_pair
+    x = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_feats = backbone(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        ref_logits = head(ref_feats).numpy().transpose(0, 2, 3, 1)
+
+    feats = backbone_features(params, jnp.asarray(x))
+    logits = np.asarray(decode_head(params, feats))
+    assert logits.shape == ref_logits.shape
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-3, atol=1e-3)
+
+
+def test_segment_mask_shapes():
+    params = init_segformer(jax.random.PRNGKey(0))
+    seg = Segmenter(params=params, label_mapping=load_label_mapping())
+    img = jnp.zeros((1, 50, 62, 3))  # not /4 — pad + crop path
+    mask = seg.segment(img)
+    assert mask.shape == (1, 50, 62)
+    m = np.asarray(mask)
+    assert m.min() >= 0 and m.max() < 150
+
+
+# ---------------------------------------------------------------------------
+# Remapping parity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_remap():
+    sys.modules.setdefault(
+        "todos",
+        types.SimpleNamespace(debug=types.SimpleNamespace(output_var=lambda *a, **k: None)),
+    )
+    return _load_ref_module(
+        "ref_remap",
+        "/root/reference/models/segmentation/SegReMapping.py",
+    )
+
+
+def _random_seg(rng, labels, shape, probs=None):
+    return rng.choice(labels, size=shape, p=probs).astype(np.int64)
+
+
+def test_self_remapping_parity(ref_remap, rng):
+    ref = ref_remap.SegReMapping(
+        "/root/reference/models/segmentation/ade20k_semantic_rel.npy",
+        min_ratio=0.02,
+    )
+    mapping = load_label_mapping()
+    # seg with one dominant label, a medium one, and a tiny one
+    seg = np.zeros((64, 64), np.int64)
+    seg[40:, :] = 21
+    seg[:2, :3] = 93  # 6 px -> tiny
+    ref_out = ref.self_remapping(seg)
+    ours = np.asarray(self_remapping(jnp.asarray(seg, jnp.int32), mapping, 0.02))
+    np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_self_remapping_random_parity(ref_remap, rng):
+    ref = ref_remap.SegReMapping(
+        "/root/reference/models/segmentation/ade20k_semantic_rel.npy",
+        min_ratio=0.05,
+    )
+    mapping = load_label_mapping()
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        seg = _random_seg(
+            r, np.array([3, 17, 52, 93, 121]), (48, 48),
+            probs=[0.5, 0.3, 0.17, 0.02, 0.01],
+        )
+        ref_out = ref.self_remapping(seg)
+        ours = np.asarray(
+            self_remapping(jnp.asarray(seg, jnp.int32), mapping, 0.05)
+        )
+        np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_cross_remapping_parity(ref_remap, rng):
+    ref = ref_remap.SegReMapping(
+        "/root/reference/models/segmentation/ade20k_semantic_rel.npy"
+    )
+    mapping = load_label_mapping()
+    r = np.random.default_rng(7)
+    cseg = _random_seg(r, np.array([2, 4, 9, 16, 21]), (40, 40))
+    sseg = _random_seg(r, np.array([2, 9, 21, 76]), (40, 40))
+    ref_out = ref.cross_remapping(cseg, sseg)
+    ours = np.asarray(
+        cross_remapping(
+            jnp.asarray(cseg, jnp.int32), jnp.asarray(sseg, jnp.int32), mapping
+        )
+    )
+    np.testing.assert_array_equal(ours, ref_out)
