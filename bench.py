@@ -1,0 +1,83 @@
+"""Driver benchmark: stylized 512px frames/sec on one chip.
+
+Measures the full stylize path (encode content -> cWCT -> decode) in the
+video configuration: one style, precomputed factors, frames batched.
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference runs the photo pipeline at ~800 ms @ 1024^2 on GPU
+(project/image_style/vstnet.py:170) => ~200 ms @ 512^2 => ~5 frames/sec.
+vs_baseline is frames_per_sec / 5.0. The north-star target is >=1000 fps
+on a v5e-8, i.e. >=125 fps/chip (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.config import PHOTO_CONFIG
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.models.revresnet import decode, encode, init_revresnet
+
+    cfg = PHOTO_CONFIG
+    dtype = jnp.bfloat16  # inference fast path (>=55 dB round-trip, tests)
+    params = init_revresnet(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    rng = np.random.default_rng(0)
+    style = jnp.asarray(rng.uniform(size=(1, 512, 512, 3)), dtype)
+
+    @jax.jit
+    def factors(params, style):
+        return cwct.style_factors(encode(params, style, cfg))
+
+    @jax.jit
+    def stylize_frames(params, frames, ls, mu_s):
+        z_c = encode(params, frames, cfg)
+        z_cs = cwct.transfer_with_factors(z_c, ls, mu_s)
+        return jnp.clip(decode(params, z_cs, cfg), 0.0, 1.0)
+
+    ls, mu_s = factors(params, style)
+
+    # Honest timing: on the axon relay, block_until_ready acks before real
+    # execution; chain iterations (output -> next input) and fence with a
+    # host readback (vstnet_tpu/runtime/timing.py).
+    best = 0.0
+    best_batch = 0
+    for batch in (16, 32):
+        frames = jnp.asarray(
+            rng.uniform(size=(batch, 512, 512, 3)), dtype)
+        out = stylize_frames(params, frames, ls, mu_s)
+        _ = np.asarray(out[0, 0, :4, 0])  # compile + warm + fence
+
+        iters = 8
+        t0 = time.perf_counter()
+        x = frames
+        for _ in range(iters):
+            x = stylize_frames(params, x, ls, mu_s)
+        _ = np.asarray(x[0, 0, :4, 0])
+        dt = time.perf_counter() - t0
+        fps = batch * iters / dt
+        if fps > best:
+            best, best_batch = fps, batch
+
+    print(json.dumps({
+        "metric": "stylized_512px_frames_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(best / 5.0, 2),
+        "detail": {"batch": best_batch, "dtype": "bfloat16",
+                   "pipeline": "encode+cwct(factored)+decode"},
+    }))
+
+
+if __name__ == "__main__":
+    main()

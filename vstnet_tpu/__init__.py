@@ -17,6 +17,10 @@ Public API (mirrors the reference `image_style` package surface,
 
 __version__ = "0.1.0"
 
+from vstnet_tpu.runtime.cache import enable_persistent_cache as _epc
+
+_epc()  # persistent XLA compile cache: first-run compiles become disk hits
+
 from vstnet_tpu.config import (  # noqa: F401
     RevResNetConfig,
     PHOTO_CONFIG,

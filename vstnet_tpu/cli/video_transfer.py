@@ -1,0 +1,193 @@
+"""Video style transfer CLI — flag-compatible with the reference
+(/root/reference/video_transfer.py:17-37), redesigned as a frame-batched
+streaming pipeline:
+
+  * the style image is encoded and Cholesky-factored ONCE (the reference
+    re-encodes the style inside the frame loop, video_transfer.py:195);
+  * frames run through one jitted encode->transfer->decode program in
+    batches of --batch (frames are independent at inference — SURVEY §3.2 —
+    so batching is pure data parallelism and feeds the MXU);
+  * host decode (PIL/JPEG) overlaps device compute via async dispatch.
+
+No mp4 encoder exists in this environment; .mp4 outputs are written as
+MJPEG .avi (the reference's own seg-debug format) with a notice.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="vstnet_tpu video style transfer")
+    p.add_argument("--mode", type=str, default="photorealistic",
+                   choices=["photorealistic", "artistic"])
+    p.add_argument("--ckpoint", type=str, default=None)
+    p.add_argument("--video", type=str, default="data/content/04.avi",
+                   help="video file (MJPEG avi) or frame directory")
+    p.add_argument("--style", type=str, default="data/style/04.jpg")
+    p.add_argument("--out_dir", type=str, default="output")
+    p.add_argument("--max_size", type=int, default=1280)
+    p.add_argument("--alpha_c", type=float, default=None)
+    p.add_argument("--fps", type=int, default=10)
+    p.add_argument("--batch", type=int, default=8,
+                   help="frames per device step")
+    # segmentation
+    p.add_argument("--auto_seg", action="store_true", default=False)
+    p.add_argument("--save_seg_label", action="store_true", default=True)
+    p.add_argument("--save_seg_color", action="store_true", default=True)
+    p.add_argument("--label_mapping", type=str, default=None)
+    p.add_argument("--palette", type=str, default=None)
+    p.add_argument("--min_ratio", type=float, default=0.02)
+    p.add_argument("--seg_ckpoint", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.io.image import load_image
+    from vstnet_tpu.io.video import AviWriter, read_frames
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.models.pipeline import StyleModel
+    from vstnet_tpu.models.revresnet import decode, encode
+    from vstnet_tpu.ops.resize import resize_bilinear
+
+    if args.ckpoint:
+        model = StyleModel.from_checkpoint(args.ckpoint, args.mode)
+    else:
+        print("WARNING: no --ckpoint given; using random weights (smoke mode)")
+        model = StyleModel.random_init(mode=args.mode)
+    cfg = model.cfg
+
+    frames_iter, n_frames, src_fps = read_frames(args.video)
+    first = next(frames_iter)
+    h0, w0 = first.shape[:2]
+    scale = min(args.max_size / max(h0, w0), 1.0)
+    h = int(h0 * scale) // cfg.down_scale * cfg.down_scale
+    w = int(w0 * scale) // cfg.down_scale * cfg.down_scale
+
+    style = load_image(args.style, args.max_size, cfg.down_scale)
+    z_s = encode(model.params, jnp.asarray(style), cfg)
+    ls, mu_s = cwct.style_factors(z_s)
+
+    smask = None
+    seg = None
+    if args.auto_seg:
+        from vstnet_tpu.models.segformer import Segmenter
+
+        seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
+                             label_mapping=args.label_mapping)
+        smask = seg.segment(jnp.asarray(style))
+
+    @jax.jit
+    def stylize_batch(params, frames):
+        z_c = encode(params, frames, cfg)
+        if args.alpha_c is not None:
+            z_cs = cwct.interpolation(
+                z_c, z_s[None], jnp.asarray([1.0]), alpha_c=float(args.alpha_c))
+        else:
+            z_cs = cwct.transfer_with_factors(z_c, ls, mu_s)
+        return jnp.clip(decode(params, z_cs, cfg), 0.0, 1.0)
+
+    @jax.jit
+    def stylize_batch_masked(params, frames, cmasks, smask_b):
+        z_c = encode(params, frames, cfg)
+        sm = jnp.broadcast_to(smask_b, (frames.shape[0], *smask_b.shape[1:]))
+        z_ss = jnp.broadcast_to(z_s, (frames.shape[0], *z_s.shape[1:]))
+        z_cs = cwct.transfer_masked(z_c, z_ss, cmasks, sm)
+        return jnp.clip(decode(params, z_cs, cfg), 0.0, 1.0)
+
+    vname = os.path.splitext(os.path.basename(args.video))[0]
+    sname = os.path.splitext(os.path.basename(args.style))[0]
+    out_name = f"{vname}_{sname}.avi"
+    out_path = os.path.join(args.out_dir, out_name)
+    print(f"writing MJPEG AVI to {out_path} "
+          "(no mp4 encoder in this environment)")
+    writer = AviWriter(out_path, fps=args.fps)
+
+    label_writer = color_writer = None
+    palette = None
+    if args.auto_seg and args.save_seg_label:
+        label_writer = AviWriter(
+            os.path.join(args.out_dir, "segmentation", "content_seg_label.avi"),
+            fps=args.fps)
+    if args.auto_seg and args.save_seg_color:
+        from vstnet_tpu.models.remapping import ade20k_palette
+
+        palette = ade20k_palette(args.palette)
+        color_writer = AviWriter(
+            os.path.join(args.out_dir, "segmentation", "content_seg_color.avi"),
+            fps=args.fps)
+
+    def frame_stream():
+        yield first
+        yield from frames_iter
+
+    def to_device_batch(batch_np):
+        x = jnp.asarray(np.stack(batch_np), jnp.float32) / 255.0
+        return resize_bilinear(x, h, w)
+
+    t0 = time.time()
+    done = 0
+    pending = []  # (device_array, n_valid) — async dispatch overlap
+    batch_np = []
+
+    def flush(batch_np):
+        n = len(batch_np)
+        while len(batch_np) < args.batch:  # pad to static shape
+            batch_np.append(batch_np[-1])
+        x = to_device_batch(batch_np)
+        if args.auto_seg:
+            cm = seg.segment(x)
+            cm, _ = seg.remap(np.asarray(cm), np.asarray(smask))
+            out = stylize_batch_masked(model.params, x, jnp.asarray(cm),
+                                       smask[None] if smask.ndim == 2 else smask)
+            return out, n, np.asarray(cm)
+        return stylize_batch(model.params, x), n, None
+
+    for frame in frame_stream():
+        batch_np.append(frame)
+        if len(batch_np) == args.batch:
+            pending.append(flush(batch_np))
+            batch_np = []
+        while len(pending) > 2:  # keep 2 batches in flight
+            done += _drain(pending.pop(0), writer, label_writer,
+                           color_writer, palette)
+    if batch_np:
+        pending.append(flush(batch_np))
+    for p in pending:
+        done += _drain(p, writer, label_writer, color_writer, palette)
+
+    writer.close()
+    if label_writer:
+        label_writer.close()
+    if color_writer:
+        color_writer.close()
+    dt = time.time() - t0
+    print(f"Save at {out_path}: {done} frames at {w}x{h}, "
+          f"{done / dt:.1f} frames/sec end-to-end")
+    return out_path
+
+
+def _drain(item, writer, label_writer, color_writer, palette):
+    out, n, cm = item
+    arr = np.asarray(out)  # blocks on device
+    for i in range(n):
+        writer.write(arr[i])
+        if cm is not None and label_writer is not None:
+            label_writer.write(np.stack([cm[i].astype(np.uint8)] * 3, -1))
+        if cm is not None and color_writer is not None:
+            color_writer.write(palette[np.clip(cm[i], 0, len(palette) - 1)])
+    return n
+
+
+if __name__ == "__main__":
+    main()

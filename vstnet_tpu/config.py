@@ -30,6 +30,14 @@ class RevResNetConfig:
     kernel: int = 3
     # n_blocks in the channel-reduction tail
     reduction_blocks: int = 2
+    # Rematerialize each coupling block under autodiff (jax.checkpoint):
+    # activations are recomputed in the backward pass instead of stored —
+    # the training step holds only the inter-block stream states. Off for
+    # inference (no grads, no cost either way).
+    remat: bool = False
+
+    def with_remat(self) -> "RevResNetConfig":
+        return dataclasses.replace(self, remat=True)
 
     @property
     def inj_pad(self) -> int:

@@ -1,0 +1,180 @@
+"""Video I/O without external codec libraries.
+
+This image has no cv2/ffmpeg/imageio, so video support is built on:
+  * a pure-Python RIFF/AVI parser+writer for MJPEG (each frame is a JPEG,
+    decoded/encoded by PIL) — the reference's own sample video
+    (data/content/04.avi) is MJPG, and the reference writes its seg debug
+    videos as MJPG too (video_transfer.py:99-106);
+  * frame-directory mode (sorted images), which the reference also supports
+    (video_transfer.py:68-70).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI reader
+# ---------------------------------------------------------------------------
+
+def _walk_chunks(buf: memoryview, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        fourcc = bytes(buf[pos:pos + 4])
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def read_avi(path: str) -> Tuple[List[np.ndarray], float]:
+    """Read an MJPEG AVI -> (frames [HWC uint8 RGB], fps)."""
+    from PIL import Image
+
+    with open(path, "rb") as f:
+        data = memoryview(f.read())
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
+        raise ValueError(f"{path}: not an AVI file")
+
+    fps = 25.0
+    frames: List[np.ndarray] = []
+
+    def scan_list(start, end):
+        nonlocal fps
+        for fourcc, off, size in _walk_chunks(data, start, end):
+            if fourcc == b"LIST":
+                list_type = bytes(data[off:off + 4])
+                if list_type == b"movi":
+                    for cc, o2, s2 in _walk_chunks(data, off + 4, off + size):
+                        if cc[2:4] in (b"dc", b"db") and s2 > 0:
+                            img = Image.open(io.BytesIO(bytes(data[o2:o2 + s2])))
+                            frames.append(np.asarray(img.convert("RGB")))
+                else:
+                    scan_list(off + 4, off + size)
+            elif fourcc == b"avih":
+                usec_per_frame = struct.unpack("<I", data[off:off + 4])[0]
+                if usec_per_frame > 0:
+                    fps = 1e6 / usec_per_frame
+
+    scan_list(12, len(data))
+    if not frames:
+        raise ValueError(f"{path}: no MJPEG frames found (codec unsupported?)")
+    return frames, fps
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI writer
+# ---------------------------------------------------------------------------
+
+class AviWriter:
+    """Streaming MJPEG AVI writer (RIFF + avih/strh/strf + movi + idx1)."""
+
+    def __init__(self, path: str, fps: float = 25.0, quality: int = 92):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self.fps = fps
+        self.quality = quality
+        self._jpegs: List[bytes] = []
+        self._size: Optional[Tuple[int, int]] = None
+
+    def write(self, frame: np.ndarray):
+        """frame: HWC uint8 RGB (or float [0,1])."""
+        from PIL import Image
+
+        if frame.dtype != np.uint8:
+            frame = np.clip(np.asarray(frame) * 255.0, 0, 255).astype(np.uint8)
+        if self._size is None:
+            self._size = (frame.shape[1], frame.shape[0])
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, "JPEG", quality=self.quality)
+        self._jpegs.append(buf.getvalue())
+
+    def close(self):
+        if self._size is None:
+            raise ValueError("no frames written")
+        w, h = self._size
+        n = len(self._jpegs)
+
+        def chunk(fourcc: bytes, payload: bytes) -> bytes:
+            pad = b"\x00" if len(payload) & 1 else b""
+            return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+        def lst(list_type: bytes, payload: bytes) -> bytes:
+            return chunk(b"LIST", list_type + payload)
+
+        usec = int(1e6 / max(self.fps, 1e-6))
+        max_bytes = max(len(j) for j in self._jpegs)
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII",
+            usec, max_bytes * int(self.fps), 0, 0x10,  # HASINDEX
+            n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"MJPG", 0, 0, 0, 0, 1, int(round(self.fps)),
+            0, n, max_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+
+        movi_payload = b"".join(chunk(b"00dc", j) for j in self._jpegs)
+        movi = lst(b"movi", movi_payload)
+
+        idx_entries = []
+        off = 4  # offsets are relative to the 'movi' list-type fourcc
+        for j in self._jpegs:
+            idx_entries.append(
+                struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+            off += 8 + len(j) + (len(j) & 1)
+        idx1 = chunk(b"idx1", b"".join(idx_entries))
+
+        body = b"AVI " + hdrl + movi + idx1
+        with open(self.path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# Unified frame sources / sinks
+# ---------------------------------------------------------------------------
+
+def read_frames(path: str) -> Tuple[Iterator[np.ndarray], int, float]:
+    """Video file or frame directory -> (frame iterator, count, fps)."""
+    from PIL import Image
+
+    if os.path.isdir(path):
+        from vstnet_tpu.train.data import make_dataset
+
+        files = make_dataset(path)
+
+        def gen():
+            for fp in files:
+                yield np.asarray(Image.open(fp).convert("RGB"))
+
+        return gen(), len(files), 25.0
+    frames, fps = read_avi(path)
+    return iter(frames), len(frames), fps
+
+
+def make_writer(path: str, fps: float):
+    """AVI for .avi outputs; frame directory otherwise (no mp4 encoder in
+    this environment — .mp4 requests are written as MJPEG .avi with a
+    warning at the CLI layer)."""
+    return AviWriter(path, fps)

@@ -163,6 +163,46 @@ def transfer(content_feat, style_feat, eps: float = EPS_DEFAULT):
 
 
 # ---------------------------------------------------------------------------
+# Precomputed style factors (video fast path: style encoded & factored ONCE,
+# fixing the reference's per-frame style re-encode, video_transfer.py:195)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("eps",))
+def style_factors(style_feat, eps: float = EPS_DEFAULT):
+    """style_feat (B,H,W,C) -> (Ls (B,C,C), mu_s (B,C))."""
+    xs = _to_cn(style_feat).astype(jnp.float32)
+
+    def one(x):
+        mean, cov = _feat_stats(x)
+        return robust_cholesky(cov, eps), mean
+
+    return jax.vmap(one)(xs)
+
+
+@partial(jax.jit, static_argnames=("eps",))
+def transfer_with_factors(content_feat, ls, mu_s, eps: float = EPS_DEFAULT):
+    """Global transfer against precomputed style factors. ls/mu_s may have
+    batch 1 to broadcast over the content batch (video frames)."""
+    shape = content_feat.shape
+    dt = content_feat.dtype
+    xc = _to_cn(content_feat).astype(jnp.float32)
+    if ls.shape[0] == 1 and xc.shape[0] > 1:
+        ls = jnp.broadcast_to(ls, (xc.shape[0], *ls.shape[1:]))
+        mu_s = jnp.broadcast_to(mu_s, (xc.shape[0], *mu_s.shape[1:]))
+
+    def one(x, l, m):
+        mean_c, cov_c = _feat_stats(x)
+        lc = robust_cholesky(cov_c, eps)
+        whiten = jax.scipy.linalg.solve_triangular(
+            lc, x - mean_c[:, None], lower=True
+        )
+        return l @ whiten + m[:, None]
+
+    out = jax.vmap(one)(xc, ls, mu_s)
+    return _from_cn(out, shape).astype(dt)
+
+
+# ---------------------------------------------------------------------------
 # Regional (masked) transfer — fixed label capacity, no Python loops
 # ---------------------------------------------------------------------------
 

@@ -123,6 +123,16 @@ def _block_inverse(y1, y2, bparams, stride: int):
 # Channel reduction head
 # ---------------------------------------------------------------------------
 
+def _maybe_remat(fn, cfg: RevResNetConfig, stride: int):
+    """Per-block rematerialization: under autodiff only the inter-block
+    stream states are kept; conv intermediates are recomputed in backward.
+    This is what makes the 5-pass training step of the reference
+    (train.py:141-190) fit in HBM at full crop sizes."""
+    if not cfg.remat:
+        return lambda x1, x2, bp: fn(x1, x2, bp, stride)
+    return jax.checkpoint(lambda x1, x2, bp: fn(x1, x2, bp, stride))
+
+
 def _reduction_forward(x, reduction_params, cfg: RevResNetConfig):
     """channel_reduction.forward (/root/reference/models/RevResNet.py:131-146).
 
@@ -131,8 +141,9 @@ def _reduction_forward(x, reduction_params, cfg: RevResNetConfig):
     per-stream, then merge + sp_steps depth-to-space spreads.
     """
     x1, x2 = channel_split(x)
+    fwd = _maybe_remat(_block_forward, cfg, 1)
     for bp in reduction_params:
-        x1, x2 = _block_forward(x1, x2, bp, stride=1)
+        x1, x2 = fwd(x1, x2, bp)
     x = channel_merge(x1, x2)
     for _ in range(cfg.sp_steps):
         x = pixel_shuffle(x)
@@ -143,8 +154,9 @@ def _reduction_inverse(x, reduction_params, cfg: RevResNetConfig):
     for _ in range(cfg.sp_steps):
         x = pixel_unshuffle(x)
     x1, x2 = channel_split(x)
+    inv = _maybe_remat(_block_inverse, cfg, 1)
     for bp in reversed(reduction_params):
-        x1, x2 = _block_inverse(x1, x2, bp, stride=1)
+        x1, x2 = inv(x1, x2, bp)
     return channel_merge(x1, x2)
 
 
@@ -167,7 +179,7 @@ def encode(params: Dict, x, cfg: RevResNetConfig):
     x = injective_pad(x, cfg.inj_pad)
     x1, x2 = channel_split(x)
     for bp, (_, stride) in zip(params["stack"], plan):
-        x1, x2 = _block_forward(x1, x2, bp, stride)
+        x1, x2 = _maybe_remat(_block_forward, cfg, stride)(x1, x2, bp)
     x = channel_merge(x1, x2)
     return _reduction_forward(x, params["reduction"], cfg)
 
@@ -178,7 +190,7 @@ def decode(params: Dict, z, cfg: RevResNetConfig):
     x = _reduction_inverse(z, params["reduction"], cfg)
     x1, x2 = channel_split(x)
     for bp, (_, stride) in zip(reversed(params["stack"]), reversed(plan)):
-        x1, x2 = _block_inverse(x1, x2, bp, stride)
+        x1, x2 = _maybe_remat(_block_inverse, cfg, stride)(x1, x2, bp)
     x = channel_merge(x1, x2)
     return injective_unpad(x, cfg.inj_pad)
 

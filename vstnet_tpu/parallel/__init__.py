@@ -1,0 +1,9 @@
+from vstnet_tpu.parallel.mesh import make_mesh  # noqa: F401
+from vstnet_tpu.parallel.sharding import (  # noqa: F401
+    replicated,
+    batch_sharded,
+    spatial_sharded,
+    shard_batch,
+    parallel_stylize,
+    make_parallel_train_step,
+)
