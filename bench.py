@@ -25,27 +25,28 @@ def main():
 
     from vstnet_tpu.config import PHOTO_CONFIG
     from vstnet_tpu.models import cwct
-    from vstnet_tpu.models.revresnet import decode, encode, init_revresnet
+    from vstnet_tpu.models.revresnet import init_revresnet
+    from vstnet_tpu.models.revresnet import decode, encode
 
     cfg = PHOTO_CONFIG
     dtype = jnp.bfloat16  # inference fast path (>=55 dB round-trip, tests)
     params = init_revresnet(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(dtype), params)
+    fast = jax.tree.map(lambda x: x.astype(dtype), params)
 
     rng = np.random.default_rng(0)
     style = jnp.asarray(rng.uniform(size=(1, 512, 512, 3)), dtype)
 
     @jax.jit
-    def factors(params, style):
-        return cwct.style_factors(encode(params, style, cfg))
+    def factors(fast, style):
+        return cwct.style_factors(encode(fast, style, cfg))
 
     @jax.jit
-    def stylize_frames(params, frames, ls, mu_s):
-        z_c = encode(params, frames, cfg)
+    def stylize_frames(fast, frames, ls, mu_s):
+        z_c = encode(fast, frames, cfg)
         z_cs = cwct.transfer_with_factors(z_c, ls, mu_s)
-        return jnp.clip(decode(params, z_cs, cfg), 0.0, 1.0)
+        return jnp.clip(decode(fast, z_cs, cfg), 0.0, 1.0)
 
-    ls, mu_s = factors(params, style)
+    ls, mu_s = factors(fast, style)
 
     # Honest timing: on the axon relay, block_until_ready acks before real
     # execution; chain iterations (output -> next input) and fence with a
@@ -55,14 +56,14 @@ def main():
     for batch in (16, 32):
         frames = jnp.asarray(
             rng.uniform(size=(batch, 512, 512, 3)), dtype)
-        out = stylize_frames(params, frames, ls, mu_s)
+        out = stylize_frames(fast, frames, ls, mu_s)
         _ = np.asarray(out[0, 0, :4, 0])  # compile + warm + fence
 
         iters = 8
         t0 = time.perf_counter()
         x = frames
         for _ in range(iters):
-            x = stylize_frames(params, x, ls, mu_s)
+            x = stylize_frames(fast, x, ls, mu_s)
         _ = np.asarray(x[0, 0, :4, 0])
         dt = time.perf_counter() - t0
         fps = batch * iters / dt
@@ -75,7 +76,7 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(best / 5.0, 2),
         "detail": {"batch": best_batch, "dtype": "bfloat16",
-                   "pipeline": "encode+cwct(factored)+decode"},
+                   "pipeline": "encode+cwct(factored)+decode (xla path)"},
     }))
 
 

@@ -1,0 +1,187 @@
+"""Smoke/bench/parity harness — the vstnet_tpu equivalent of
+/root/reference/project/smoke.py:
+
+  * shape sweep:     N random resolutions ±jitter around a base size
+                     through the bucketed stylizer (smoke.py:20-54's
+                     dynamic-shape robustness test, bounded-compile form)
+  * profiler bench:  per-stage timings with honest readback fencing
+                     (smoke.py:57-78's torch.profiler table)
+  * parity gate:     cross-backend output equivalence vs the reference
+                     PyTorch implementation with shared random weights,
+                     rtol=atol=0.01 (smoke.py's torch-vs-ONNX gate at :145)
+                     plus PSNR reporting
+
+Usage:
+    python -m vstnet_tpu.cli.smoke [--test shapes|bench|parity|all]
+        [--size 512] [--iters 20] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def test_input_shapes(size: int, n: int = 20, jitter: int = 16, seed: int = 0):
+    import jax.numpy as jnp
+
+    from vstnet_tpu.models.pipeline import StyleModel
+    from vstnet_tpu.runtime.buckets import BucketedStylizer
+
+    model = StyleModel.random_init()
+    stylizer = BucketedStylizer(model)
+    rng = np.random.default_rng(seed)
+
+    times = []
+    for i in range(n):
+        h = size + int(rng.integers(-jitter, jitter + 1))
+        w = size + int(rng.integers(-jitter, jitter + 1))
+        h, w = h // 4 * 4, w // 4 * 4
+        c = jnp.asarray(rng.uniform(size=(1, h, w, 3)), jnp.float32)
+        s = jnp.asarray(rng.uniform(size=(1, h, w, 3)), jnp.float32)
+        t0 = time.perf_counter()
+        out = stylizer(c, s)
+        val = np.asarray(out[0, 0, :2, 0])  # readback fence
+        dt = time.perf_counter() - t0
+        assert out.shape == (1, h, w, 3), (out.shape, (h, w))
+        assert np.isfinite(val).all()
+        times.append(dt)
+        print(f"  [{i + 1}/{n}] {h}x{w}: {dt * 1000:.1f} ms")
+    print(f"shape sweep OK: mean {np.mean(times) * 1000:.1f} ms, "
+          f"median {np.median(times) * 1000:.1f} ms "
+          f"(first-hit compiles included)")
+
+
+def run_benchmark(size: int, batch: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.config import PHOTO_CONFIG
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.models.revresnet import decode, encode, init_revresnet
+    from vstnet_tpu.runtime.timing import force
+
+    cfg = PHOTO_CONFIG
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        init_revresnet(jax.random.PRNGKey(0), cfg),
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(batch, size, size, 3)), jnp.bfloat16)
+
+    stages = {
+        "encode": jax.jit(lambda p, x: encode(p, x, cfg)),
+        "decode": None,  # filled below (needs a latent)
+        "cwct": None,
+    }
+    z = stages["encode"](params, x)
+    ls, mu = cwct.style_factors(z[:1])
+    stages["decode"] = jax.jit(lambda p, z: decode(p, z, cfg))
+    stages["cwct"] = jax.jit(lambda z: cwct.transfer_with_factors(z, ls, mu))
+
+    print(f"per-stage timings ({batch}x{size}x{size}, bf16, {iters} iters):")
+    for name, fn in stages.items():
+        args = (params, x) if name == "encode" else (
+            (params, z) if name == "decode" else (z,))
+        out = fn(*args)
+        force(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        force(out)
+        dt = (time.perf_counter() - t0) / iters
+        print(f"  {name:8s}: {dt * 1000:7.2f} ms "
+              f"({dt / batch * 1000:.2f} ms/frame)")
+
+
+def parity_gate(size: int = 128, seed: int = 0):
+    """Cross-backend numeric parity vs the reference torch model."""
+    import sys
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vstnet_tpu.config import PHOTO_CONFIG
+    from vstnet_tpu.io.checkpoint import revresnet_to_torch
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.models.revresnet import decode, encode, init_revresnet
+
+    sys.modules.setdefault(
+        "todos",
+        types.SimpleNamespace(debug=types.SimpleNamespace(
+            output_var=lambda *a, **k: None)),
+    )
+    sys.path.insert(0, "/root/reference")
+    from models.RevResNet import RevResNet  # type: ignore
+
+    sys.path.remove("/root/reference")
+
+    cfg = PHOTO_CONFIG
+    params = init_revresnet(jax.random.PRNGKey(seed), cfg)
+    tmodel = RevResNet(hidden_dim=cfg.hidden_dim, sp_steps=cfg.sp_steps)
+    tmodel.load_state_dict({
+        k: torch.from_numpy(np.array(v, copy=True))
+        for k, v in revresnet_to_torch(params).items()
+    })
+    tmodel.eval()
+
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(size=(1, size, size, 3)).astype(np.float32)
+    s = rng.uniform(size=(1, size, size, 3)).astype(np.float32)
+
+    # full stylize on both backends
+    z_c = encode(params, jnp.asarray(c), cfg)
+    z_s = encode(params, jnp.asarray(s), cfg)
+    out_jax = np.asarray(decode(params, cwct.transfer(z_c, z_s), cfg))
+
+    with torch.no_grad():
+        tzc = tmodel(torch.from_numpy(c.transpose(0, 3, 1, 2)))
+        tzs = tmodel(torch.from_numpy(s.transpose(0, 3, 1, 2)))
+        # reference batched whitening is broken (cWCT.py:144, see
+        # tests/test_cwct.py); use its per-sample 2D path
+        sys.path.insert(0, "/root/reference")
+        from models.cWCT import cWCT  # type: ignore
+
+        sys.path.remove("/root/reference")
+        cw = cWCT()
+        n = tzc.shape[1]
+        w = cw.whitening(tzc[0].reshape(n, -1))
+        col = cw.coloring(w, tzs[0].reshape(n, -1))
+        tz = col.reshape(tzc.shape)
+        out_t = tmodel(tz, forward=False).numpy().transpose(0, 2, 3, 1)
+
+    abs_err = np.abs(out_jax - out_t)
+    mse = float((abs_err ** 2).mean())
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    ok = np.allclose(out_jax, out_t, rtol=0.01, atol=0.01)
+    print(f"parity gate: max err {abs_err.max():.2e}, PSNR {psnr:.1f} dB, "
+          f"rtol/atol 0.01 -> {'PASS' if ok else 'FAIL'}")
+    if not ok:
+        raise SystemExit(1)
+    assert psnr >= 40.0, f"PSNR {psnr:.1f} below the 40 dB gate"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--test", default="all",
+                   choices=["shapes", "bench", "parity", "all"])
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n_shapes", type=int, default=10)
+    args = p.parse_args(argv)
+
+    if args.test in ("parity", "all"):
+        parity_gate(min(args.size, 128))
+    if args.test in ("shapes", "all"):
+        test_input_shapes(args.size, n=args.n_shapes)
+    if args.test in ("bench", "all"):
+        run_benchmark(args.size, args.batch, args.iters)
+
+
+if __name__ == "__main__":
+    main()

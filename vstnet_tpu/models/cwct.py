@@ -11,19 +11,19 @@ Capability parity with the reference cWCT
 TPU-first design decisions (vs the reference's per-label Python loops with
 host<->device index copies, cWCT.py:70-103):
 
-  * Latents are NHWC; all math is batched einsum/matmul over the pixel axis.
-  * The regional variant uses a **fixed label capacity K**: region statistics
-    are masked reductions (MXU matmuls against a one-hot weighting), the
-    per-region 32x32 transforms are built with a vmapped Cholesky, and the
-    recombine is a lax.scan of masked selects — fully static shapes, no
-    data-dependent control flow, jit/vmap/shard-safe. Covariance reductions
-    over sharded pixels become psum-able (see vstnet_tpu/parallel).
+  * Latents stay in pixels-major (N, C) layout — a free reshape of NHWC.
+    The whole transform collapses to ONE per-sample matmul
+    y = x @ T^T + b with T = Ls Lc^{-1}, b = mu_s - T mu_c, so no
+    physical (C, N) transpose of the big tensor ever materializes
+    (measured 30x off the bandwidth roofline before this change).
+  * Region statistics are masked contractions; the per-region 32x32
+    transforms come from a vmapped Cholesky; recombine is a lax.scan of
+    masked selects — static shapes, jit/vmap/shard-safe. Covariance
+    contractions over sharded pixels become psums under GSPMD.
   * The reference's try/except eps-escalation retry (cWCT.py:115-128)
     becomes a vectorized "first finite Cholesky among escalating jitters".
-  * Whitening uses a triangular solve instead of torch.inverse(L)
-    (better conditioned; same math).
 
-Precision: covariance/Cholesky always run in f32+ (`linalg_dtype`), even if
+Precision: statistics/Cholesky always run in f32 (`linalg_dtype`), even if
 the surrounding network computes in bf16.
 """
 
@@ -36,9 +36,8 @@ import jax.numpy as jnp
 from jax import lax
 
 EPS_DEFAULT = 2e-5
-# Matches reference validity thresholds: both regions >10 px and area ratio
-# bounded (research uses 100x — cWCT.py:178; the package tightens to 10x —
-# project/image_style/cwct.py:118).
+# Reference validity thresholds: both regions >10 px and area ratio bounded
+# (research 100x — cWCT.py:178; package tightens to 10x — cwct.py:118).
 MIN_PIXELS = 10
 MAX_RATIO_RESEARCH = 100.0
 MAX_RATIO_PACKAGE = 10.0
@@ -49,71 +48,58 @@ MAX_RATIO_PACKAGE = 10.0
 # ---------------------------------------------------------------------------
 
 def robust_cholesky(cov, eps: float = EPS_DEFAULT, attempts: int = 8):
-    """First finite Cholesky among escalating diagonal jitters.
-
-    Reproduces the reference's escalating-eps retry loop
-    (/root/reference/models/cWCT.py:111-128) without data-dependent Python
-    control flow: candidates cov + k*eps*I for k in {0,1,2,4,...}; pick the
-    first whose factorization is finite. The k=0 candidate keeps the common
-    case bit-comparable with the reference (which adds no jitter on success).
-    """
+    """First finite Cholesky among escalating diagonal jitters
+    (vectorized form of /root/reference/models/cWCT.py:111-128; the k=0
+    candidate keeps the common case bit-comparable)."""
     c = cov.shape[-1]
     eye = jnp.eye(c, dtype=cov.dtype)
-    cov = jnp.where(jnp.isfinite(cov), cov, eye)  # degenerate/empty regions
+    cov = jnp.where(jnp.isfinite(cov), cov, eye)
     scales = jnp.concatenate(
         [jnp.zeros((1,), cov.dtype),
          2.0 ** jnp.arange(attempts - 1, dtype=cov.dtype)]
     ) * jnp.asarray(eps, cov.dtype)
 
-    cands = cov[None] + scales[:, None, None] * eye  # (A, C, C)
+    cands = cov[None] + scales[:, None, None] * eye
     ls = jnp.linalg.cholesky(cands)
     ok = jnp.all(jnp.isfinite(ls), axis=(-1, -2))
-    idx = jnp.argmax(ok)  # first True; 0 if none (then output is garbage-safe below)
+    idx = jnp.argmax(ok)
     l = ls[idx]
-    # Last-resort fallback: identity (region will be masked invalid anyway).
     return jnp.where(jnp.all(jnp.isfinite(l)), l, eye)
 
 
 def _inv_lower(l):
-    """L^{-1} for a lower-triangular L via triangular solve."""
     eye = jnp.eye(l.shape[-1], dtype=l.dtype)
     return jax.scipy.linalg.solve_triangular(l, eye, lower=True)
 
 
 # ---------------------------------------------------------------------------
-# Statistics
+# Statistics in (N, C) layout
 # ---------------------------------------------------------------------------
 
 def _feat_stats(x):
-    """x: (C, N) -> mean (C,), covariance (C, C) with /(n-1) like the
-    reference (cWCT.py:144)."""
-    n = x.shape[-1]
-    mean = jnp.mean(x, axis=-1)
-    xc = x - mean[:, None]
-    cov = (xc @ xc.T) / (n - 1)
+    """x: (N, C) -> mean (C,), covariance (C, C) with /(n-1)."""
+    n = x.shape[0]
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    cov = jnp.einsum("nc,nd->cd", xc, xc,
+                     preferred_element_type=jnp.float32) / (n - 1)
     return mean, cov
 
 
 def _masked_stats(x, w):
-    """Masked mean/cov. x: (C, N); w: (N,) in {0,1}.
-
-    cov = (sum_w x x^T - n mu mu^T) / (n - 1), the same unbiased estimator
-    the reference computes on gathered pixels (cWCT.py:144) — here as one
-    masked matmul, no gather.
-    """
+    """Masked mean/cov. x: (N, C); w: (N,) in {0,1}."""
     n = jnp.sum(w)
     safe_n = jnp.maximum(n, 2.0)
-    xw = x * w[None, :]
-    mean = jnp.sum(xw, axis=-1) / jnp.maximum(n, 1.0)
-    s2 = xw @ x.T  # (C, C) = sum_w x x^T
+    xw = x * w[:, None]
+    mean = jnp.sum(xw, axis=0) / jnp.maximum(n, 1.0)
+    s2 = jnp.einsum("nc,nd->cd", xw, x, preferred_element_type=jnp.float32)
     cov = (s2 - n * jnp.outer(mean, mean)) / (safe_n - 1.0)
     return n, mean, cov
 
 
 def _region_transform(mean_c, cov_c, mean_s, cov_s, eps):
-    """Fused coloring transform: T = Ls @ Lc^{-1}, b = mu_s - T mu_c
-    (the package's content_feat_coloring algebra,
-    /root/reference/project/image_style/cwct.py:86-106)."""
+    """T = Ls @ Lc^{-1}, b = mu_s - T mu_c (the package's fused
+    content_feat_coloring algebra, cwct.py:86-106)."""
     lc = robust_cholesky(cov_c, eps)
     ls = robust_cholesky(cov_s, eps)
     t = ls @ _inv_lower(lc)
@@ -121,45 +107,38 @@ def _region_transform(mean_c, cov_c, mean_s, cov_s, eps):
     return t, b
 
 
+def _apply(x, t, b):
+    """y = x @ T^T + b for x (N, C)."""
+    return jnp.einsum("nc,dc->nd", x, t,
+                      preferred_element_type=jnp.float32) + b
+
+
+def _to_nc(feat):
+    b, h, w, c = feat.shape
+    return feat.reshape(b, h * w, c)
+
+
 # ---------------------------------------------------------------------------
 # Global transfer
 # ---------------------------------------------------------------------------
 
-def _transfer_single(xc, xs, eps):
-    """xc: (C, Nc), xs: (C, Ns) -> (C, Nc)."""
-    mean_c, cov_c = _feat_stats(xc)
-    mean_s, cov_s = _feat_stats(xs)
-    lc = robust_cholesky(cov_c, eps)
-    ls = robust_cholesky(cov_s, eps)
-    whiten = jax.scipy.linalg.solve_triangular(
-        lc, xc - mean_c[:, None], lower=True
-    )
-    return ls @ whiten + mean_s[:, None]
-
-
-def _to_cn(feat):
-    """NHWC (B,H,W,C) -> (B, C, N)."""
-    b, h, w, c = feat.shape
-    return jnp.transpose(feat.reshape(b, h * w, c), (0, 2, 1))
-
-
-def _from_cn(x, shape):
-    b, h, w, c = shape
-    return jnp.transpose(x, (0, 2, 1)).reshape(b, h, w, c)
-
-
 @partial(jax.jit, static_argnames=("eps",))
 def transfer(content_feat, style_feat, eps: float = EPS_DEFAULT):
     """Global cWCT. content_feat (B,Hc,Wc,C), style_feat (B,Hs,Ws,C).
-
-    Mirrors cWCT._transfer (/root/reference/models/cWCT.py:24-47).
-    """
+    Mirrors cWCT._transfer (/root/reference/models/cWCT.py:24-47)."""
     shape = content_feat.shape
     dt = content_feat.dtype
-    xc = _to_cn(content_feat).astype(jnp.float32)
-    xs = _to_cn(style_feat).astype(jnp.float32)
-    out = jax.vmap(lambda a, b: _transfer_single(a, b, eps))(xc, xs)
-    return _from_cn(out, shape).astype(dt)
+    xc = _to_nc(content_feat).astype(jnp.float32)
+    xs = _to_nc(style_feat).astype(jnp.float32)
+
+    def one(xcb, xsb):
+        mc, cc = _feat_stats(xcb)
+        ms, cs = _feat_stats(xsb)
+        t, b = _region_transform(mc, cc, ms, cs, eps)
+        return _apply(xcb, t, b)
+
+    out = jax.vmap(one)(xc, xs)
+    return out.reshape(shape).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +149,7 @@ def transfer(content_feat, style_feat, eps: float = EPS_DEFAULT):
 @partial(jax.jit, static_argnames=("eps",))
 def style_factors(style_feat, eps: float = EPS_DEFAULT):
     """style_feat (B,H,W,C) -> (Ls (B,C,C), mu_s (B,C))."""
-    xs = _to_cn(style_feat).astype(jnp.float32)
+    xs = _to_nc(style_feat).astype(jnp.float32)
 
     def one(x):
         mean, cov = _feat_stats(x)
@@ -185,21 +164,20 @@ def transfer_with_factors(content_feat, ls, mu_s, eps: float = EPS_DEFAULT):
     batch 1 to broadcast over the content batch (video frames)."""
     shape = content_feat.shape
     dt = content_feat.dtype
-    xc = _to_cn(content_feat).astype(jnp.float32)
+    xc = _to_nc(content_feat).astype(jnp.float32)
     if ls.shape[0] == 1 and xc.shape[0] > 1:
         ls = jnp.broadcast_to(ls, (xc.shape[0], *ls.shape[1:]))
         mu_s = jnp.broadcast_to(mu_s, (xc.shape[0], *mu_s.shape[1:]))
 
     def one(x, l, m):
-        mean_c, cov_c = _feat_stats(x)
-        lc = robust_cholesky(cov_c, eps)
-        whiten = jax.scipy.linalg.solve_triangular(
-            lc, x - mean_c[:, None], lower=True
-        )
-        return l @ whiten + m[:, None]
+        mc, cc = _feat_stats(x)
+        lc = robust_cholesky(cc, eps)
+        t = l @ _inv_lower(lc)
+        b = m - t @ mc
+        return _apply(x, t, b)
 
-    out = jax.vmap(one)(xc, ls, mu_s)
-    return _from_cn(out, shape).astype(dt)
+    out = jax.vmap(one)(xc, ls.astype(jnp.float32), mu_s.astype(jnp.float32))
+    return out.reshape(shape).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -208,13 +186,10 @@ def transfer_with_factors(content_feat, ls, mu_s, eps: float = EPS_DEFAULT):
 
 def _transfer_seg_single(xc, xs, cmask, smask, eps, max_labels,
                          min_pixels, max_ratio):
-    """xc (C,Nc), xs (C,Ns), cmask (Nc,), smask (Ns,) int32 -> (C,Nc)."""
-    # Distinct content labels, padded to K with -1 (absent sentinel).
+    """xc (Nc,C), xs (Ns,C), cmask (Nc,), smask (Ns,) int32 -> (Nc,C)."""
     labels = jnp.unique(
         cmask, size=max_labels, fill_value=jnp.int32(-1)
     ).astype(jnp.int32)
-    # unique() pads with fill_value only when fewer distinct values exist,
-    # but -1 could collide if... masks are non-negative labels by contract.
 
     def per_label(label):
         wc = (cmask == label).astype(jnp.float32)
@@ -231,13 +206,13 @@ def _transfer_seg_single(xc, xs, cmask, smask, eps, max_labels,
         t, b = _region_transform(mean_c, cov_c, mean_s, cov_s, eps)
         return t, b, valid
 
-    ts, bs, valids = jax.vmap(per_label)(labels)  # (K,C,C), (K,C), (K,)
+    ts, bs, valids = jax.vmap(per_label)(labels)
 
     def apply_one(out, args):
         t, b, valid, label = args
-        y = t @ xc + b[:, None]
+        y = _apply(xc, t, b)
         sel = valid & (cmask == label)
-        return jnp.where(sel[None, :], y, out), None
+        return jnp.where(sel[:, None], y, out), None
 
     out, _ = lax.scan(apply_one, xc, (ts, bs, valids, labels))
     return out
@@ -257,20 +232,16 @@ def transfer_masked(
     min_pixels: int = MIN_PIXELS,
     max_ratio: float = MAX_RATIO_RESEARCH,
 ):
-    """Regional cWCT guided by semantic masks.
+    """Regional cWCT guided by semantic masks (cWCT._transfer_seg semantics,
+    /root/reference/models/cWCT.py:49-109, without the Python label loop).
 
-    content_feat (B,Hc,Wc,C); cmask (B,Hc,Wc) int labels >= 0 (and likewise
-    for style). Pixels whose label fails the validity rule keep their
-    content features — same semantics as cWCT._transfer_seg
-    (/root/reference/models/cWCT.py:49-109), minus the Python label loop.
-
-    max_labels is the static region capacity K; content label sets larger
-    than K are truncated by jnp.unique (first K distinct values).
-    """
+    content_feat (B,Hc,Wc,C); cmask (B,Hc,Wc) int labels >= 0. Pixels whose
+    label fails the validity rule keep their content features. max_labels is
+    the static region capacity K (first K distinct labels)."""
     shape = content_feat.shape
     dt = content_feat.dtype
-    xc = _to_cn(content_feat).astype(jnp.float32)
-    xs = _to_cn(style_feat).astype(jnp.float32)
+    xc = _to_nc(content_feat).astype(jnp.float32)
+    xs = _to_nc(style_feat).astype(jnp.float32)
     cm = cmask.reshape(cmask.shape[0], -1).astype(jnp.int32)
     sm = smask.reshape(smask.shape[0], -1).astype(jnp.int32)
     out = jax.vmap(
@@ -278,7 +249,7 @@ def transfer_masked(
             a, b, c, d, eps, max_labels, float(min_pixels), max_ratio
         )
     )(xc, xs, cm, sm)
-    return _from_cn(out, shape).astype(dt)
+    return out.reshape(shape).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -293,42 +264,37 @@ def interpolation(
     alpha_c: float = 0.0,
     eps: float = EPS_DEFAULT,
 ):
-    """Style interpolation (cWCT.interpolation,
-    /root/reference/models/cWCT.py:206-262):
-
-      mix_Ls = sum_i alpha_i * Ls_i, mix_mu = sum_i alpha_i * mu_i, then
-      optionally blend with the content factor by alpha_c, and color the
-      whitened content.
-    """
+    """Style interpolation (cWCT.interpolation, cWCT.py:206-262):
+    mix_Ls = sum_i alpha_i Ls_i, mix_mu = sum_i alpha_i mu_i, optionally
+    blended with the content factor by alpha_c, coloring the whitened
+    content. Expressed as one fused matmul: y = x @ T^T + b with
+    T = mix_Ls Lc^{-1}."""
     if isinstance(style_feats, (list, tuple)):
         style_feats = jnp.stack(style_feats)
     shape = content_feat.shape
     dt = content_feat.dtype
-    xc = _to_cn(content_feat).astype(jnp.float32)  # (B, C, N)
+    xc = _to_nc(content_feat).astype(jnp.float32)
     alpha_s = jnp.asarray(alpha_s, jnp.float32)
+    xs = jax.vmap(_to_nc)(style_feats).astype(jnp.float32)  # (S, B, Ns, C)
+    xs = jnp.swapaxes(xs, 0, 1)  # (B, S, Ns, C)
 
     def per_batch(xcb, xsb):
-        # xcb (C, N); xsb (S, C, Ns)
         mean_c, cov_c = _feat_stats(xcb)
         lc = robust_cholesky(cov_c, eps)
-        whiten = jax.scipy.linalg.solve_triangular(
-            lc, xcb - mean_c[:, None], lower=True
-        )
 
         def style_factor(xs1):
             mean_s, cov_s = _feat_stats(xs1)
             return robust_cholesky(cov_s, eps), mean_s
 
-        ls_all, mu_all = jax.vmap(style_factor)(xsb)  # (S,C,C), (S,C)
+        ls_all, mu_all = jax.vmap(style_factor)(xsb)
         mix_ls = jnp.einsum("s,scd->cd", alpha_s, ls_all)
         mix_mu = jnp.einsum("s,sc->c", alpha_s, mu_all)
-
         mix_ls = mix_ls * (1.0 - alpha_c) + lc * alpha_c
         mix_mu = mix_mu * (1.0 - alpha_c) + mean_c * alpha_c
 
-        return mix_ls @ whiten + mix_mu[:, None]
+        t = mix_ls @ _inv_lower(lc)
+        b = mix_mu - t @ mean_c
+        return _apply(xcb, t, b)
 
-    xs = jax.vmap(_to_cn, in_axes=0)(style_feats)  # (S, B, C, Ns)
-    xs = jnp.transpose(xs, (1, 0, 2, 3)).astype(jnp.float32)  # (B, S, C, Ns)
     out = jax.vmap(per_batch)(xc, xs)
-    return _from_cn(out, shape).astype(dt)
+    return out.reshape(shape).astype(dt)
