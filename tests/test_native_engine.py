@@ -1,0 +1,52 @@
+"""Native PJRT engine: export -> compile -> execute -> parity.
+
+Runs against whatever PJRT plugin is available (libtpu in this image);
+skips cleanly when none initializes (e.g. bare CI machines).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vstnet_tpu.runtime.native import ENGINE_LIB
+
+
+def _make_engine():
+    from vstnet_tpu.runtime.native import NativeEngine
+
+    try:
+        return NativeEngine()
+    except (FileNotFoundError, RuntimeError) as e:
+        pytest.skip(f"no usable PJRT plugin: {e}")
+
+
+@pytest.mark.skipif(not os.path.exists(ENGINE_LIB),
+                    reason="native engine not built (make engine)")
+def test_engine_stylize_parity(rng):
+    import jax
+
+    from vstnet_tpu.config import RevResNetConfig
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.models.revresnet import decode, encode, init_revresnet
+    from vstnet_tpu.runtime.export import export_stylize
+
+    cfg = RevResNetConfig(n_blocks=(1, 1, 1))
+    params = init_revresnet(jax.random.PRNGKey(0), cfg)
+    mlir, out_shape = export_stylize(params, cfg, 32, 32)
+
+    eng = _make_engine()
+    try:
+        eng.compile(mlir)
+        c = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        s = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        (out,) = eng.execute([c, s], [out_shape])
+
+        import jax.numpy as jnp
+
+        z_c = encode(params, jnp.asarray(c), cfg)
+        z_s = encode(params, jnp.asarray(s), cfg)
+        ref = np.asarray(decode(params, cwct.transfer(z_c, z_s), cfg))
+        np.testing.assert_allclose(out, ref, rtol=0.01, atol=0.01)
+    finally:
+        eng.close()
