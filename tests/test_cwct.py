@@ -48,6 +48,30 @@ def test_robust_cholesky_degenerate():
     assert np.isfinite(l).all()
 
 
+def test_robust_cholesky_failure_propagates_nan():
+    """Reference contract (cWCT.py:127-128): after exhausting eps
+    escalation, the failure must surface — NaN poisoning + host raise,
+    never a silent identity fallback."""
+    from vstnet_tpu.models.cwct import host_check_finite
+
+    cov = jnp.full((8, 8), jnp.nan)
+    l = np.asarray(robust_cholesky(cov))
+    assert np.isnan(l).all()
+    with pytest.raises(FloatingPointError):
+        host_check_finite(l)
+
+
+def test_label_capacity_buckets():
+    from vstnet_tpu.models.cwct import label_capacity
+
+    assert label_capacity(np.zeros((1, 4, 4), np.int32)) == 8
+    m = np.arange(40, dtype=np.int32).reshape(1, 5, 8)
+    assert label_capacity(m) == 64
+    m = np.arange(200, dtype=np.int32).reshape(1, 10, 20)
+    assert label_capacity(m) == 200
+    assert label_capacity(None, np.zeros((1, 2, 2), np.int32)) == 8
+
+
 def test_transfer_matches_style_statistics(rng):
     """After transfer, output mean/cov must equal style mean/cov (the
     defining property of WCT)."""
@@ -103,8 +127,10 @@ def test_transfer_masked_parity_reference(reference_cwct, rng):
     smask[:, 10:, :] = 1
     smask[:, 0, 0] = 2  # 1 pixel only -> invalid region
 
+    # NB: the reference's _transfer_seg writes through a reshape VIEW of the
+    # input tensor (cWCT.py:63,104), mutating c in place — hand it a copy.
     ref = reference_cwct.transfer(
-        torch.from_numpy(c), torch.from_numpy(s), cmask, smask
+        torch.from_numpy(c.copy()), torch.from_numpy(s), cmask, smask
     ).numpy()
 
     ours = np.asarray(
@@ -116,6 +142,43 @@ def test_transfer_masked_parity_reference(reference_cwct, rng):
         )
     )
     np.testing.assert_allclose(ours, _nhwc(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_transfer_masked_many_regions_parity(reference_cwct, rng):
+    """>32 distinct labels (ADE20K auto-seg can exceed 32 pre-remap): with
+    capacity from label_capacity, every region must be transferred — parity
+    vs the reference per-label loop (models/cWCT.py:70-103), no drops."""
+    from vstnet_tpu.models.cwct import label_capacity
+
+    c = rng.standard_normal((1, 8, 48, 36)).astype(np.float32)
+    s = rng.standard_normal((1, 8, 48, 36)).astype(np.float32)
+    # 6x6 grid -> 36 regions of 48 px each (> MIN_PIXELS)
+    blocks = np.arange(36, dtype=np.int32).reshape(6, 6)
+    mask = np.kron(blocks, np.ones((8, 6), np.int32))[None]
+
+    # copy: the reference mutates its content input in place (cWCT.py:63,104)
+    ref = reference_cwct.transfer(
+        torch.from_numpy(c.copy()), torch.from_numpy(s), mask, mask
+    ).numpy()
+
+    k = label_capacity(mask)
+    assert k == 64
+    ours = np.asarray(
+        transfer_masked(
+            jnp.asarray(_nhwc(c)), jnp.asarray(_nhwc(s)),
+            jnp.asarray(mask), jnp.asarray(mask), max_labels=k,
+        )
+    )
+    assert np.isfinite(ours).all()
+    np.testing.assert_allclose(ours, _nhwc(ref), rtol=1e-3, atol=1e-3)
+    # and with the old default capacity 32, label 35 WOULD have been dropped
+    dropped = np.asarray(
+        transfer_masked(
+            jnp.asarray(_nhwc(c)), jnp.asarray(_nhwc(s)),
+            jnp.asarray(mask), jnp.asarray(mask), max_labels=32,
+        )
+    )
+    assert not np.allclose(dropped, _nhwc(ref), rtol=1e-3, atol=1e-3)
 
 
 def test_transfer_masked_invalid_regions_passthrough(rng):

@@ -88,6 +88,48 @@ def test_decode_parity(cfg, reference_revresnet, rng):
     np.testing.assert_allclose(x_jax, x_t, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["photo", "artistic"])
+def test_full_config_parity(mode, reference_revresnet, rng):
+    """Production-depth (30-block) parity: full stylize (encode c/s -> cWCT
+    -> decode) vs the imported torch reference at small resolution. Guards
+    the inverse-pass error accumulation over all 32 blocks (SURVEY hard-part
+    #2) in the automated suite — the reference's cross-backend gate is
+    rtol=atol=0.01 (project/smoke.py:145); we additionally require the
+    BASELINE >=40 dB PSNR."""
+    from vstnet_tpu.config import ARTISTIC_CONFIG, PHOTO_CONFIG
+    from vstnet_tpu.models import cwct
+
+    cfg = PHOTO_CONFIG if mode == "photo" else ARTISTIC_CONFIG
+    params, tmodel = _build_pair(cfg, reference_revresnet, seed=2)
+    c = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    s = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+
+    z_c = encode(params, jnp.asarray(c), cfg)
+    z_s = encode(params, jnp.asarray(s), cfg)
+    out_jax = np.asarray(decode(params, cwct.transfer(z_c, z_s), cfg))
+
+    # Reference side: encode both, per-sample whitening/coloring (its
+    # batched _transfer is broken — see tests/test_cwct.py), decode.
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.cWCT import cWCT  # type: ignore
+    finally:
+        sys.path.remove("/root/reference")
+    cw = cWCT()
+    with torch.no_grad():
+        tzc = tmodel(torch.from_numpy(c.transpose(0, 3, 1, 2)), forward=True)
+        tzs = tmodel(torch.from_numpy(s.transpose(0, 3, 1, 2)), forward=True)
+        n = tzc.shape[1]
+        w = cw.whitening(tzc[0].reshape(n, -1))
+        tz = cw.coloring(w, tzs[0].reshape(n, -1)).reshape(tzc.shape)
+        out_t = tmodel(tz, forward=False).numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(out_jax, out_t, rtol=0.01, atol=0.01)
+    mse = float(((out_jax - out_t) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    assert psnr >= 40.0, f"full-config stylize PSNR {psnr:.1f} dB < 40"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     """save (torch format) -> load -> identical pytree."""
     from vstnet_tpu.io.checkpoint import load_revresnet, save_torch_checkpoint

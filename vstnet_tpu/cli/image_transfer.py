@@ -102,6 +102,9 @@ def main(argv=None):
     else:
         out = model.stylize(c, s)
 
+    from vstnet_tpu.models.cwct import host_check_finite
+
+    host_check_finite(out)
     cn = os.path.splitext(os.path.basename(args.content))[0]
     sn = os.path.splitext(os.path.basename(args.style))[0]
     path = os.path.join(args.out_dir, f"{cn}_{sn}.png")

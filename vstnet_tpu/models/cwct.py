@@ -50,10 +50,15 @@ MAX_RATIO_PACKAGE = 10.0
 def robust_cholesky(cov, eps: float = EPS_DEFAULT, attempts: int = 8):
     """First finite Cholesky among escalating diagonal jitters
     (vectorized form of /root/reference/models/cWCT.py:111-128; the k=0
-    candidate keeps the common case bit-comparable)."""
+    candidate keeps the common case bit-comparable).
+
+    Failure semantics match the reference's "raise after exhausting eps
+    escalation" (cWCT.py:127-128): if no jitter yields a finite factor
+    (e.g. non-finite input covariance), the result is NaN and poisons the
+    output, which host boundaries detect via `host_check_finite` — never a
+    silent identity fallback."""
     c = cov.shape[-1]
     eye = jnp.eye(c, dtype=cov.dtype)
-    cov = jnp.where(jnp.isfinite(cov), cov, eye)
     scales = jnp.concatenate(
         [jnp.zeros((1,), cov.dtype),
          2.0 ** jnp.arange(attempts - 1, dtype=cov.dtype)]
@@ -64,7 +69,23 @@ def robust_cholesky(cov, eps: float = EPS_DEFAULT, attempts: int = 8):
     ok = jnp.all(jnp.isfinite(ls), axis=(-1, -2))
     idx = jnp.argmax(ok)
     l = ls[idx]
-    return jnp.where(jnp.all(jnp.isfinite(l)), l, eye)
+    return jnp.where(jnp.all(jnp.isfinite(l)), l,
+                     jnp.full_like(l, jnp.nan))
+
+
+def host_check_finite(x, what: str = "stylized output"):
+    """Host-boundary failure detection: raise if the cWCT poisoned the
+    output with NaN (reference contract: cWCT.py:127-128 raises
+    'Cholesky Decomposition fails'). Call on results about to be saved or
+    returned to the user; forces a device readback."""
+    import numpy as np
+
+    if not np.isfinite(np.asarray(x)).all():
+        raise FloatingPointError(
+            f"Cholesky decomposition failed: non-finite {what} "
+            "(degenerate feature covariance survived eps escalation)"
+        )
+    return x
 
 
 def _inv_lower(l):
@@ -183,6 +204,28 @@ def transfer_with_factors(content_feat, ls, mu_s, eps: float = EPS_DEFAULT):
 # ---------------------------------------------------------------------------
 # Regional (masked) transfer — fixed label capacity, no Python loops
 # ---------------------------------------------------------------------------
+
+# Compile buckets for the static region capacity K. ADE20K has 150 classes
+# (the reference handles every label present via a Python loop,
+# cWCT.py:70-103); bucketing bounds recompiles while guaranteeing no label
+# is ever silently dropped when callers size K via `label_capacity`.
+LABEL_BUCKETS = (8, 16, 32, 64, 150)
+
+
+def label_capacity(*masks) -> int:
+    """Host-side: smallest compile bucket covering every distinct label in
+    the given masks. Pass the content mask (style-only labels never get a
+    region of their own — cWCT.py:70 iterates content labels)."""
+    import numpy as np
+
+    n = 1
+    for m in masks:
+        if m is not None:
+            n = max(n, int(np.unique(np.asarray(m)).size))
+    for b in LABEL_BUCKETS:
+        if b >= n:
+            return b
+    return n
 
 def _transfer_seg_single(xc, xs, cmask, smask, eps, max_labels,
                          min_pixels, max_ratio):

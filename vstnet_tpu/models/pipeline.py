@@ -172,7 +172,8 @@ class StyleModel:
             )
         if cmask is not None and smask is not None:
             return stylize_masked(
-                self.params, content, style, cmask, smask, self.cfg
+                self.params, content, style, cmask, smask, self.cfg,
+                max_labels=cwct.label_capacity(cmask),
             )
         return stylize(self.params, content, style, self.cfg)
 
@@ -195,6 +196,7 @@ class StyleModel:
 
         out = photo_forward(
             self.params, c_pad, s_pad, cmask, smask, self.cfg,
+            max_labels=cwct.label_capacity(cmask) if use_masks else 32,
             use_masks=use_masks,
         )
         if out.shape[1] != h or out.shape[2] != w:
@@ -235,7 +237,7 @@ def image_photo_predict(content_files, style_file, output_dir: str,
         s = jnp.asarray(style)
         if s.shape[1:3] != (sh, sw):
             s = resize_bilinear(s, sh, sw)
-        out = model.photo_pipeline(jnp.asarray(content), s)
+        out = cwct.host_check_finite(model.photo_pipeline(jnp.asarray(content), s))
         trip = np.concatenate(
             [np.asarray(content[0]), np.asarray(s[0]), np.asarray(out[0])], axis=1
         )
