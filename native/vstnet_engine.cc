@@ -23,6 +23,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -37,7 +38,19 @@ struct Engine {
   PJRT_Client* client = nullptr;
   PJRT_LoadedExecutable* exec = nullptr;
   std::string last_error;
+  // Per-output device layout of the last execute: minor-to-major logical
+  // dim indices. TPU executables place outputs in compiler-chosen layouts
+  // (e.g. channels in sublanes), and ToHostBuffer on some plugins writes
+  // the elements in that physical order; the host side un-permutes.
+  std::vector<std::vector<int64_t>> out_mtm;
 };
+
+void trace(const char* msg) {
+  if (std::getenv("VSTNET_ENGINE_DEBUG")) {
+    std::fprintf(stderr, "[vstnet_engine] %s\n", msg);
+    std::fflush(stderr);
+  }
+}
 
 std::string take_error(const PJRT_Api* api, PJRT_Error* err) {
   if (!err) return {};
@@ -76,7 +89,11 @@ const char* engine_last_error(void* h) {
   return static_cast<Engine*>(h)->last_error.c_str();
 }
 
-void* engine_create(const char* plugin_path) {
+// options: '\n'-separated "i:key=123" (int64) / "s:key=text" (string)
+// entries passed to PJRT_Client_Create as NamedValues. Plugins such as the
+// relay TPU plugin require client options (topology, session id); plain
+// plugins (libtpu on a local host, CPU) take none.
+void* engine_create(const char* plugin_path, const char* options) {
   auto* eng = new Engine();
   eng->dl = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
   if (!eng->dl) {
@@ -100,9 +117,55 @@ void* engine_create(const char* plugin_path) {
     return eng;
   }
 
+  // Parse create options. Backing strings must outlive the Create call.
+  std::vector<std::string> keys, svals;
+  std::vector<int64_t> ivals;
+  std::vector<char> kinds;
+  if (options && options[0]) {
+    std::string all(options);
+    size_t pos = 0;
+    while (pos < all.size()) {
+      size_t end = all.find('\n', pos);
+      if (end == std::string::npos) end = all.size();
+      std::string line = all.substr(pos, end - pos);
+      pos = end + 1;
+      if (line.size() < 4 || line[1] != ':') continue;
+      size_t eq = line.find('=', 2);
+      if (eq == std::string::npos) continue;
+      kinds.push_back(line[0]);
+      keys.push_back(line.substr(2, eq - 2));
+      std::string v = line.substr(eq + 1);
+      if (line[0] == 'i') {
+        ivals.push_back((int64_t)std::strtoll(v.c_str(), nullptr, 10));
+        svals.push_back("");
+      } else {
+        svals.push_back(v);
+        ivals.push_back(0);
+      }
+    }
+  }
+  std::vector<PJRT_NamedValue> nvs(keys.size());
+  for (size_t i = 0; i < keys.size(); i++) {
+    std::memset(&nvs[i], 0, sizeof(PJRT_NamedValue));
+    nvs[i].struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nvs[i].name = keys[i].c_str();
+    nvs[i].name_size = keys[i].size();
+    if (kinds[i] == 'i') {
+      nvs[i].type = PJRT_NamedValue_kInt64;
+      nvs[i].int64_value = ivals[i];
+      nvs[i].value_size = 1;
+    } else {
+      nvs[i].type = PJRT_NamedValue_kString;
+      nvs[i].string_value = svals[i].c_str();
+      nvs[i].value_size = svals[i].size();
+    }
+  }
+
   PJRT_Client_Create_Args cargs;
   std::memset(&cargs, 0, sizeof(cargs));
   cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = nvs.empty() ? nullptr : nvs.data();
+  cargs.num_options = nvs.size();
   err = eng->api->PJRT_Client_Create(&cargs);
   if (err) {
     eng->last_error = take_error(eng->api, err);
@@ -151,6 +214,7 @@ int32_t engine_execute(void* h, int64_t n_in, const float** in_data,
                        const int64_t* out_sizes) {
   auto* eng = static_cast<Engine*>(h);
   if (!eng->exec) return -1;
+  trace("execute: begin");
 
   // device 0
   PJRT_Client_AddressableDevices_Args dev_args;
@@ -163,6 +227,7 @@ int32_t engine_execute(void* h, int64_t n_in, const float** in_data,
     return -1;
   }
   PJRT_Device* device = dev_args.addressable_devices[0];
+  trace("got device");
 
   // host -> device
   std::vector<PJRT_Buffer*> inputs;
@@ -180,17 +245,21 @@ int32_t engine_execute(void* h, int64_t n_in, const float** in_data,
         PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
     bargs.device = device;
     CHECK_PJRT(eng, eng->api->PJRT_Client_BufferFromHostBuffer(&bargs));
-    // wait for the copy
-    PJRT_Event_Await_Args eargs;
-    std::memset(&eargs, 0, sizeof(eargs));
-    eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
-    eargs.event = bargs.done_with_host_buffer;
-    CHECK_PJRT(eng, eng->api->PJRT_Event_Await(&eargs));
-    PJRT_Event_Destroy_Args edargs;
-    std::memset(&edargs, 0, sizeof(edargs));
-    edargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
-    edargs.event = bargs.done_with_host_buffer;
-    eng->api->PJRT_Event_Destroy(&edargs);
+    // wait for the copy (plugins may return no event when the copy
+    // completed synchronously)
+    if (bargs.done_with_host_buffer) {
+      PJRT_Event_Await_Args eargs;
+      std::memset(&eargs, 0, sizeof(eargs));
+      eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      eargs.event = bargs.done_with_host_buffer;
+      CHECK_PJRT(eng, eng->api->PJRT_Event_Await(&eargs));
+      PJRT_Event_Destroy_Args edargs;
+      std::memset(&edargs, 0, sizeof(edargs));
+      edargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      edargs.event = bargs.done_with_host_buffer;
+      eng->api->PJRT_Event_Destroy(&edargs);
+    }
+    trace("input buffer ready");
     inputs.push_back(bargs.buffer);
     dp += ndims[i];
   }
@@ -214,9 +283,29 @@ int32_t engine_execute(void* h, int64_t n_in, const float** in_data,
   xargs.num_args = (size_t)n_in;
   xargs.output_lists = &output_list;
   xargs.execute_device = device;
+  trace("executing");
   CHECK_PJRT(eng, eng->api->PJRT_LoadedExecutable_Execute(&xargs));
+  trace("executed");
 
-  // device -> host
+  // record output layouts (minor-to-major), then device -> host
+  eng->out_mtm.assign((size_t)n_out, {});
+  for (int64_t i = 0; i < n_out; i++) {
+    PJRT_Buffer_GetMemoryLayout_Args largs;
+    std::memset(&largs, 0, sizeof(largs));
+    largs.struct_size = PJRT_Buffer_GetMemoryLayout_Args_STRUCT_SIZE;
+    largs.buffer = outputs[i];
+    PJRT_Error* lerr = eng->api->PJRT_Buffer_GetMemoryLayout
+                           ? eng->api->PJRT_Buffer_GetMemoryLayout(&largs)
+                           : nullptr;
+    if (!lerr && eng->api->PJRT_Buffer_GetMemoryLayout &&
+        largs.layout.type == PJRT_Buffer_MemoryLayout_Type_Tiled) {
+      const auto& t = largs.layout.tiled;
+      eng->out_mtm[i].assign(t.minor_to_major,
+                             t.minor_to_major + t.minor_to_major_size);
+    } else if (lerr) {
+      take_error(eng->api, lerr);  // non-fatal: assume default layout
+    }
+  }
   for (int64_t i = 0; i < n_out; i++) {
     PJRT_Buffer_ToHostBuffer_Args targs;
     std::memset(&targs, 0, sizeof(targs));
@@ -224,7 +313,9 @@ int32_t engine_execute(void* h, int64_t n_in, const float** in_data,
     targs.src = outputs[i];
     targs.dst = out_bufs[i];
     targs.dst_size = (size_t)out_sizes[i] * sizeof(float);
+    trace("tohost");
     CHECK_PJRT(eng, eng->api->PJRT_Buffer_ToHostBuffer(&targs));
+    trace("tohost issued");
     PJRT_Event_Await_Args eargs;
     std::memset(&eargs, 0, sizeof(eargs));
     eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
@@ -253,6 +344,18 @@ int32_t engine_execute(void* h, int64_t n_in, const float** in_data,
     eng->api->PJRT_Buffer_Destroy(&dargs);
   }
   return 0;
+}
+
+// Layout of output i from the last execute: writes up to max_n
+// minor-to-major entries, returns the count (0 = default/unknown layout).
+int32_t engine_output_mtm(void* h, int64_t i, int64_t* mtm, int32_t max_n) {
+  auto* eng = static_cast<Engine*>(h);
+  if (i < 0 || (size_t)i >= eng->out_mtm.size()) return 0;
+  const auto& v = eng->out_mtm[(size_t)i];
+  int32_t n = (int32_t)v.size();
+  if (n > max_n) return 0;
+  for (int32_t k = 0; k < n; k++) mtm[k] = v[(size_t)k];
+  return n;
 }
 
 void engine_destroy(void* h) {

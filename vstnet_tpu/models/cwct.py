@@ -103,7 +103,8 @@ def _feat_stats(x):
     mean = jnp.mean(x, axis=0)
     xc = x - mean
     cov = jnp.einsum("nc,nd->cd", xc, xc,
-                     preferred_element_type=jnp.float32) / (n - 1)
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST) / (n - 1)
     return mean, cov
 
 
@@ -113,7 +114,8 @@ def _masked_stats(x, w):
     safe_n = jnp.maximum(n, 2.0)
     xw = x * w[:, None]
     mean = jnp.sum(xw, axis=0) / jnp.maximum(n, 1.0)
-    s2 = jnp.einsum("nc,nd->cd", xw, x, preferred_element_type=jnp.float32)
+    s2 = jnp.einsum("nc,nd->cd", xw, x, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
     cov = (s2 - n * jnp.outer(mean, mean)) / (safe_n - 1.0)
     return n, mean, cov
 
@@ -123,15 +125,24 @@ def _region_transform(mean_c, cov_c, mean_s, cov_s, eps):
     content_feat_coloring algebra, cwct.py:86-106)."""
     lc = robust_cholesky(cov_c, eps)
     ls = robust_cholesky(cov_s, eps)
-    t = ls @ _inv_lower(lc)
-    b = mean_s - t @ mean_c
+    t = _mm(ls, _inv_lower(lc))
+    b = mean_s - _mm(t, mean_c)
     return t, b
+
+
+def _mm(a, b):
+    """f32 matmul at HIGHEST precision (TPU defaults to bf16-grade passes
+    even for f32 operands; the whitening statistics and factors must be
+    true f32 for the >=40 dB parity gate — reference runs f64-capable
+    torch, cWCT.py:13)."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
 
 def _apply(x, t, b):
     """y = x @ T^T + b for x (N, C)."""
     return jnp.einsum("nc,dc->nd", x, t,
-                      preferred_element_type=jnp.float32) + b
+                      preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST) + b
 
 
 def _to_nc(feat):
@@ -193,8 +204,8 @@ def transfer_with_factors(content_feat, ls, mu_s, eps: float = EPS_DEFAULT):
     def one(x, l, m):
         mc, cc = _feat_stats(x)
         lc = robust_cholesky(cc, eps)
-        t = l @ _inv_lower(lc)
-        b = m - t @ mc
+        t = _mm(l, _inv_lower(lc))
+        b = m - _mm(t, mc)
         return _apply(x, t, b)
 
     out = jax.vmap(one)(xc, ls.astype(jnp.float32), mu_s.astype(jnp.float32))
@@ -335,8 +346,8 @@ def interpolation(
         mix_ls = mix_ls * (1.0 - alpha_c) + lc * alpha_c
         mix_mu = mix_mu * (1.0 - alpha_c) + mean_c * alpha_c
 
-        t = mix_ls @ _inv_lower(lc)
-        b = mix_mu - t @ mean_c
+        t = _mm(mix_ls, _inv_lower(lc))
+        b = mix_mu - _mm(t, mean_c)
         return _apply(xcb, t, b)
 
     out = jax.vmap(per_batch)(xc, xs)

@@ -1,9 +1,18 @@
-"""Ahead-of-time export of stylization programs (StableHLO).
+"""Ahead-of-time export of compiled programs (StableHLO).
 
 The TPU-native analogue of the reference's ONNX export path
-(/root/reference/project/smoke.py:81-330): a compiled artifact the native
-engine (runtime/native.py) or any PJRT runtime can load — with the
-reference's output-equivalence gate reproduced in tests.
+(/root/reference/project/smoke.py:81-330). The reference exports three
+artifacts — encoder, decoder, segmenter (smoke.py:81,148,222) — each gated
+by a torch-vs-ONNX output-equivalence assert (rtol=atol=0.01, smoke.py:145,
+216,280); here the same three artifacts (plus the fused full-stylize
+program) are exported via jax.export, runnable by the native engine
+(runtime/native.py) or any PJRT runtime, with the equivalence gate
+reproduced in tests/test_runtime.py against the deserialized modules.
+
+`platforms` picks the lowering target: ("tpu",) produces a module free of
+CPU-only custom calls (e.g. Cholesky stays an HLO op instead of a LAPACK
+FFI call) so a TPU PJRT plugin can compile it; pass ("cpu",) for a
+CPU-plugin artifact. None lowers for the current default backend.
 """
 
 from __future__ import annotations
@@ -11,13 +20,29 @@ from __future__ import annotations
 import os
 
 
+def _export(fn, args, platforms):
+    import jax
+    from jax import export as jexport
+
+    jitted = jax.jit(fn)
+    if platforms is not None:
+        exp = jexport.export(jitted, platforms=list(platforms))(*args)
+    else:
+        exp = jexport.export(jitted)(*args)
+    return exp
+
+
 def export_stylize(params, cfg, h: int, w: int, batch: int = 1,
-                   bake_weights: bool = True):
-    """-> (mlir_bytes, out_shape). The full stylize program
-    encode(c), encode(s), cWCT, decode at a fixed (bucketed) shape."""
+                   bake_weights: bool = True, platforms=None,
+                   serialized: bool = False):
+    """-> (artifact_bytes, out_shape). The full stylize program
+    encode(c), encode(s), cWCT, decode at a fixed (bucketed) shape.
+
+    serialized=False returns the raw StableHLO module text (what a PJRT
+    runtime compiles); True returns the jax.export serialization (which
+    jax.export.deserialize can call — used by the parity gate)."""
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
 
     from vstnet_tpu.models import cwct
     from vstnet_tpu.models.revresnet import decode, encode
@@ -29,28 +54,66 @@ def export_stylize(params, cfg, h: int, w: int, batch: int = 1,
 
     img = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
     if bake_weights:
-        fn = jax.jit(lambda c, s: stylize(params, c, s))
-        exp = jexport.export(fn)(img, img)
+        exp = _export(lambda c, s: stylize(params, c, s), (img, img),
+                      platforms)
     else:
-        fn = jax.jit(stylize)
         p_spec = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
-        exp = jexport.export(fn)(p_spec, img, img)
-    return exp.mlir_module().encode(), (batch, h, w, 3)
+        exp = _export(stylize, (p_spec, img, img), platforms)
+    blob = exp.serialize() if serialized else exp.mlir_module().encode()
+    return blob, (batch, h, w, 3)
 
 
-def export_encoder(params, cfg, h: int, w: int, batch: int = 1):
+def export_encoder(params, cfg, h: int, w: int, batch: int = 1,
+                   platforms=None, serialized: bool = False):
+    """Encoder artifact (reference: export_vst_encoder_onnx_model,
+    project/smoke.py:81-147)."""
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
 
     from vstnet_tpu.models.revresnet import encode, latent_shape
 
     img = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
-    fn = jax.jit(lambda x: encode(params, x, cfg))
-    exp = jexport.export(fn)(img)
+    exp = _export(lambda x: encode(params, x, cfg), (img,), platforms)
     lh, lw, lc = latent_shape(cfg, h, w)
-    return exp.mlir_module().encode(), (batch, lh, lw, lc)
+    blob = exp.serialize() if serialized else exp.mlir_module().encode()
+    return blob, (batch, lh, lw, lc)
+
+
+def export_decoder(params, cfg, h: int, w: int, batch: int = 1,
+                   platforms=None, serialized: bool = False):
+    """Decoder artifact (reference: export_vst_decoder_onnx_model,
+    project/smoke.py:148-219). h/w are IMAGE dims; the input signature is
+    the corresponding latent."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.models.revresnet import decode, latent_shape
+
+    lh, lw, lc = latent_shape(cfg, h, w)
+    z = jax.ShapeDtypeStruct((batch, lh, lw, lc), jnp.float32)
+    exp = _export(lambda x: decode(params, x, cfg), (z,), platforms)
+    blob = exp.serialize() if serialized else exp.mlir_module().encode()
+    return blob, (batch, h, w, 3)
+
+
+def export_segmenter(seg_params, h: int, w: int, batch: int = 1,
+                     platforms=None, serialized: bool = False):
+    """SegFormer-B4 mask artifact (reference native tier runs the full
+    segmenter, project/ggml/src/segformer.h:858-923 driven by
+    project/ggml/main.cpp:75-98; ONNX twin project/smoke.py:222-284).
+    Output is the int32 ADE20K label mask (B, H, W)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.models.segformer import segment_mask
+
+    img = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+    exp = _export(
+        lambda x: segment_mask(seg_params, x).astype(jnp.int32),
+        (img,), platforms)
+    blob = exp.serialize() if serialized else exp.mlir_module().encode()
+    return blob, (batch, h, w)
 
 
 def save_exported(path: str, mlir_bytes: bytes):
