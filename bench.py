@@ -25,26 +25,29 @@ def main():
 
     from vstnet_tpu.config import PHOTO_CONFIG
     from vstnet_tpu.models import cwct
+    from vstnet_tpu.models import revresnet_fast as rf
     from vstnet_tpu.models.revresnet import init_revresnet
-    from vstnet_tpu.models.revresnet import decode, encode
 
     cfg = PHOTO_CONFIG
     dtype = jnp.bfloat16  # inference fast path (>=55 dB round-trip, tests)
+    c_lat = cfg.latent_channels
     params = init_revresnet(jax.random.PRNGKey(0), cfg)
-    fast = jax.tree.map(lambda x: x.astype(dtype), params)
+    fast = rf.pack_revresnet(params, cfg, dtype=dtype)
 
     rng = np.random.default_rng(0)
     style = jnp.asarray(rng.uniform(size=(1, 512, 512, 3)), dtype)
 
     @jax.jit
     def factors(fast, style):
-        return cwct.style_factors(encode(fast, style, cfg))
+        zp = rf.encode_fast(fast, style, cfg, packed_latent=True)
+        return cwct.style_factors_packed(zp, c_lat)
 
     @jax.jit
     def stylize_frames(fast, frames, ls, mu_s):
-        z_c = encode(fast, frames, cfg)
-        z_cs = cwct.transfer_with_factors(z_c, ls, mu_s)
-        return jnp.clip(decode(fast, z_cs, cfg), 0.0, 1.0)
+        zp = rf.encode_fast(fast, frames, cfg, packed_latent=True)
+        z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
+        return jnp.clip(
+            rf.decode_fast(fast, z_cs, cfg, packed_latent=True), 0.0, 1.0)
 
     ls, mu_s = factors(fast, style)
 
@@ -76,7 +79,8 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(best / 5.0, 2),
         "detail": {"batch": best_batch, "dtype": "bfloat16",
-                   "pipeline": "encode+cwct(factored)+decode (xla path)"},
+                   "pipeline": "fused flat Pallas encode+decode, "
+                               "packed-latent cWCT"},
     }))
 
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import vstnet_tpu.ops.coupling_cw as ccw
+import vstnet_tpu.ops.coupling_flat as cflat
 import vstnet_tpu.models.revresnet_fast as rf
 from vstnet_tpu.config import RevResNetConfig
 from vstnet_tpu.models.revresnet import decode, encode, init_revresnet
@@ -20,20 +20,23 @@ SMALL = RevResNetConfig(n_blocks=(2, 2, 2), hidden_dim=16, sp_steps=2)
 
 @pytest.fixture(autouse=True)
 def _interpret_pallas(monkeypatch):
-    orig = ccw.fused_coupling_cw
+    orig = cflat.fused_coupling_flat
 
-    def patched(x1, x2, packed, th=16, inverse=False, interpret=False):
-        return orig(x1, x2, packed, th=th, inverse=inverse, interpret=True)
+    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
+                interpret=False):
+        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
+                    interpret=True)
 
-    monkeypatch.setattr(ccw, "fused_coupling_cw", patched)
-    monkeypatch.setattr(rf, "fused_coupling_cw", patched)
+    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
+    monkeypatch.setattr(rf, "fused_coupling_flat", patched)
     yield
 
 
-def test_encode_fast_parity(rng):
+@pytest.mark.parametrize("w", [48, 128])
+def test_encode_fast_parity(rng, w):
     params = init_revresnet(jax.random.PRNGKey(0), SMALL)
     fast = rf.pack_revresnet(params, SMALL)
-    x = jnp.asarray(rng.uniform(size=(1, 32, 48, 3)), jnp.float32)
+    x = jnp.asarray(rng.uniform(size=(1, 32, w, 3)), jnp.float32)
     z_ref = encode(params, x, SMALL)
     z_fast = rf.encode_fast(fast, x, SMALL)
     np.testing.assert_allclose(
@@ -59,11 +62,125 @@ def test_fast_roundtrip_exact(rng):
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
 
 
+def test_packed_latent_equivalence(rng):
+    """The global cWCT commutes with the latent pixel-shuffles (every
+    shuffled pixel's vector is a contiguous C-chunk of the pre-shuffle
+    channels), so the packed-latent fast path must reproduce the shuffled
+    path exactly."""
+    from vstnet_tpu.models import cwct
+
+    params = init_revresnet(jax.random.PRNGKey(3), SMALL)
+    fast = rf.pack_revresnet(params, SMALL)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    c = SMALL.latent_channels
+
+    z = rf.encode_fast(fast, x, SMALL)
+    zs = rf.encode_fast(fast, s, SMALL)
+    ls, mu = cwct.style_factors(zs)
+    y = rf.decode_fast(fast, cwct.transfer_with_factors(z, ls, mu), SMALL)
+
+    zp = rf.encode_fast(fast, x, SMALL, packed_latent=True)
+    zsp = rf.encode_fast(fast, s, SMALL, packed_latent=True)
+    lsp, mup = cwct.style_factors_packed(zsp, c)
+    np.testing.assert_allclose(np.asarray(lsp), np.asarray(ls), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mup), np.asarray(mu), atol=1e-5)
+    yp = rf.decode_fast(
+        fast, cwct.transfer_with_factors_packed(zp, lsp, mup, c), SMALL,
+        packed_latent=True)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y), atol=1e-4)
+
+
+def _rand_branch(rng, cin, mid, cout):
+    def conv(ci, co):
+        return {
+            "w": jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.2,
+                             jnp.float32),
+            "b": jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32),
+        }
+
+    return {"conv1": conv(cin, mid), "conv2": conv(mid, mid),
+            "conv3": conv(mid, cout)}
+
+
+@pytest.mark.parametrize("c,mid,h,w", [(16, 4, 32, 48), (8, 2, 16, 20), (16, 4, 16, 128)])
+def test_fused_coupling_flat_parity(rng, c, mid, h, w):
+    """Flat rows-in-lanes kernel == XLA reference branch (reflect-pad
+    border semantics of RevResNet.py:79-88), forward and inverse."""
+    from vstnet_tpu.ops import coupling_flat as cf
+    from vstnet_tpu.ops.pad_conv import residual_branch
+
+    branch = _rand_branch(rng, c, mid, c)
+    packed = cf.pack_branch_weights_flat(branch)
+
+    x1 = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    ref_fwd = np.asarray(residual_branch(x2, branch) + x1)
+    ref_inv = np.asarray(x1 - residual_branch(x2, branch))
+
+    x1f = cf.nhwc_to_flat(x1)
+    x2f = cf.nhwc_to_flat(x2)
+    th = h // 2
+    got_fwd = np.asarray(cf.flat_to_nhwc(
+        cf.fused_coupling_flat(x1f, x2f, packed, h, w, th=th,
+                               interpret=True), h, w))
+    got_inv = np.asarray(cf.flat_to_nhwc(
+        cf.fused_coupling_flat(x1f, x2f, packed, h, w, th=th, inverse=True,
+                               interpret=True), h, w))
+    np.testing.assert_allclose(got_fwd, ref_fwd, atol=2e-5)
+    np.testing.assert_allclose(got_inv, ref_inv, atol=2e-5)
+
+
+@pytest.mark.parametrize("k,th", [(2, 16), (3, 16), (4, 32)])
+def test_fused_coupling_chain_parity(rng, k, th):
+    """k-block chain kernel == k sequential reference blocks (forward),
+    and the inverse chain recovers the inputs exactly."""
+    from vstnet_tpu.ops import coupling_flat as cf
+    from vstnet_tpu.ops.pad_conv import residual_branch
+
+    c, mid, h, w = 16, 4, 32, (128 if k == 2 else 48)
+    branches = [_rand_branch(rng, c, mid, c) for _ in range(k)]
+    chain = cf.pack_chain_weights_flat(branches)
+
+    x1 = jnp.asarray(rng.standard_normal((2, h, w, c)) * 0.3, jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, h, w, c)) * 0.3, jnp.float32)
+    a, b = x1, x2
+    for br in branches:
+        a, b = b, residual_branch(b, br) + a
+
+    r = 3 * k
+    x1f = cf.nhwc_to_flat(x1, halo_rows=r)
+    x2f = cf.nhwc_to_flat(x2, halo_rows=r)
+    y1f, y2f = cf.fused_coupling_chain_flat(
+        x1f, x2f, chain, h, w, th=th, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(cf.flat_to_nhwc(y1f, h, w, r)), np.asarray(a), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(cf.flat_to_nhwc(y2f, h, w, r)), np.asarray(b), atol=3e-5)
+
+    # inverse chain: recover (x1, x2) from (y1, y2)
+    i1f, i2f = cf.fused_coupling_chain_flat(
+        cf.nhwc_to_flat(cf.flat_to_nhwc(y1f, h, w, r), halo_rows=r),
+        cf.nhwc_to_flat(cf.flat_to_nhwc(y2f, h, w, r), halo_rows=r),
+        chain, h, w, th=th, inverse=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(cf.flat_to_nhwc(i1f, h, w, r)), np.asarray(x1), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(cf.flat_to_nhwc(i2f, h, w, r)), np.asarray(x2), atol=3e-5)
+
+
+def test_flat_layout_roundtrip(rng):
+    from vstnet_tpu.ops import coupling_flat as cf
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 20, 16)), jnp.float32)
+    xf = cf.nhwc_to_flat(x)
+    np.testing.assert_array_equal(np.asarray(cf.flat_to_nhwc(xf, 12, 20)),
+                                  np.asarray(x))
+
+
 def test_pick_tile():
     th = rf.pick_tile(512, c=16, w=512)
-    assert 512 % th == 0 and th >= 8
-    # VMEM constraint: conv3 intermediate under budget
-    assert 9 * 16 * (th + 6) * 518 * 4 <= rf.VMEM_BUDGET + 9 * 16 * 518 * 4 * 6
+    assert 512 % th == 0 and th >= 32
     th2 = rf.pick_tile(256, c=64, w=256)
-    assert 256 % th2 == 0 and th2 >= 1
+    assert 256 % th2 == 0 and th2 >= 8
     assert 27 % rf.pick_tile(27, c=16, w=108) == 0

@@ -42,6 +42,12 @@ def build_parser():
     p.add_argument("--min_ratio", type=float, default=0.02)
     p.add_argument("--seg_ckpoint", type=str, default=None,
                    help="SegFormer-B4 checkpoint for --auto_seg")
+    # ultra-resolution (4K+) tiling — bounded-memory single-chip path
+    p.add_argument("--ultra_threshold", type=int, default=1536,
+                   help="route images larger than this through spatial "
+                        "tiling (models/ultra.py)")
+    p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--overlap", type=int, default=128)
     return p
 
 
@@ -92,6 +98,37 @@ def main(argv=None):
 
     c = jnp.asarray(content)
     s = jnp.asarray(style)
+    if max(content.shape[1:3]) > args.ultra_threshold:
+        # Ultra-resolution: bounded-memory tiled path (global transfer).
+        from vstnet_tpu.models.cwct import host_check_finite
+        from vstnet_tpu.models.ultra import stylize_tiled
+        from vstnet_tpu.ops.resize import resize_bilinear
+
+        if cmask is not None or args.alpha_c is not None:
+            raise SystemExit(
+                "error: --auto_seg/--content_seg/--alpha_c are not "
+                "supported above --ultra_threshold "
+                f"({args.ultra_threshold}px); rerun with a smaller "
+                "--max_size or without segmentation")
+        if max(style.shape[1:3]) > args.ultra_threshold:
+            sh, sw = style.shape[1:3]
+            f = args.ultra_threshold / max(sh, sw)
+            nh = max(int(sh * f) // 4 * 4, 4)
+            nw = max(int(sw * f) // 4 * 4, 4)
+            print(f"note: style resized {sh}x{sw} -> {nh}x{nw} for "
+                  "factor computation (statistics are scale-stable)")
+            s = resize_bilinear(s, nh, nw)
+        print(f"ultra-res: tiling {content.shape[1]}x{content.shape[2]} "
+              f"(tile={args.tile}, overlap={args.overlap})")
+        out = stylize_tiled(model.params, c, s, model.cfg,
+                            tile=args.tile, overlap=args.overlap)
+        host_check_finite(out)
+        cn = os.path.splitext(os.path.basename(args.content))[0]
+        sn = os.path.splitext(os.path.basename(args.style))[0]
+        path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
+        save_image(np.asarray(out), path)
+        print(f"Save at {path}")
+        return path
     if cmask is not None:
         out = model.stylize(c, s, jnp.asarray(cmask), jnp.asarray(smask))
     elif args.alpha_c is not None:

@@ -96,6 +96,116 @@ def run_benchmark(size: int, batch: int, iters: int):
               f"({dt / batch * 1000:.2f} ms/frame)")
 
 
+def photo_pipeline_bench(size: int = 1024, iters: int = 5):
+    """Apples-to-apples vs the reference's full photo pipeline: pad ->
+    encode c/s -> TWO SegFormer-B4 passes -> masked cWCT -> decode -> Lab
+    blend at 1024x1024 (reference: ~800 ms on GPU, vstnet.py:170;
+    SegFormer alone ~120 ms, segment.py:479)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.models.pipeline import StyleModel, photo_forward
+    from vstnet_tpu.models.segformer import Segmenter, segment_mask
+    from vstnet_tpu.runtime.timing import timeit_real
+
+    model = StyleModel.random_init(mode="photorealistic")
+    seg = Segmenter.load(None)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(size=(1, size, size, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, size, size, 3)), jnp.float32)
+
+    seg_fn = jax.jit(lambda x: segment_mask(seg.params, x))
+    dt_seg = timeit_real(seg_fn, c, iters=iters, chain=False)
+    print(f"  segformer-b4 @{size}²          : {dt_seg * 1000:7.1f} ms "
+          "(reference ~120 ms)")
+
+    @jax.jit
+    def full(params, c, s):
+        cm = segment_mask(seg.params, c)
+        sm = segment_mask(seg.params, s)
+        return photo_forward(params, c, s, cm, sm, model.cfg,
+                             max_labels=64, use_masks=True)
+
+    dt = timeit_real(full, model.params, c, s, iters=iters, chain=False)
+    print(f"  full photo pipeline @{size}²   : {dt * 1000:7.1f} ms "
+          f"(reference ~800 ms => {800 / (dt * 1000):.1f}x)")
+    return dt_seg, dt
+
+
+def train_profile(size: int = 256, batch: int = 2, iters: int = 5):
+    """Per-stage profile of the training step (the reference trains at
+    crop 256 / batch 2, train.py:23-25). Answers where the step time goes:
+    the 5-pass reversible structure, VGG losses, matting gradient, remat."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.config import PHOTO_CONFIG
+    from vstnet_tpu.models.revresnet import decode, encode, init_revresnet
+    from vstnet_tpu.models.vgg import init_vgg, vgg_losses
+    from vstnet_tpu.ops.matting import matting_loss_and_grad
+    from vstnet_tpu.runtime.timing import timeit_real
+    from vstnet_tpu.train.losses import LossWeights, loss_and_grads
+    from vstnet_tpu.train.trainer import TrainConfig, make_optimizer
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(batch, size, size, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(batch, size, size, 3)), jnp.float32)
+    flow = jnp.zeros((batch, size, size, 2), jnp.float32)
+    noise = jnp.zeros_like(a)
+    weights = LossWeights()
+    vgg_params = init_vgg(jax.random.PRNGKey(1))
+    opt = make_optimizer(TrainConfig())
+
+    rows = []
+
+    def add(name, fn, *args, **kw):
+        dt = timeit_real(fn, *args, iters=iters, chain=False, **kw)
+        rows.append((name, dt))
+        print(f"  {name:34s}: {dt * 1000:8.1f} ms")
+
+    for remat in (True, False):
+        cfg = PHOTO_CONFIG.with_remat() if remat else PHOTO_CONFIG
+        params = init_revresnet(jax.random.PRNGKey(0), cfg)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def full_step(params, opt_state, a, b):
+            grads, aux = loss_and_grads(
+                params, vgg_params, a, b, flow, noise, cfg, weights)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            import optax
+
+            return optax.apply_updates(params, updates), opt_state, aux
+
+        print(f"train profile ({batch}x{size}x{size}, f32, "
+              f"remat={'on' if remat else 'off'}):")
+        add("full step (5-pass + losses + adam)", full_step,
+            params, opt_state, a, b)
+        if remat:
+            continue  # components below are remat-independent
+
+        add("fwd+bwd w/o matting", jax.jit(
+            lambda p, a, b: loss_and_grads(
+                p, vgg_params, a, b, flow, noise, cfg,
+                LossWeights(lap=0.0))[1]["loss_total"]), params, a, b)
+        add("fwd+bwd w/o matting+cycle", jax.jit(
+            lambda p, a, b: loss_and_grads(
+                p, vgg_params, a, b, flow, noise, cfg,
+                LossWeights(lap=0.0, rec=0.0))[1]["loss_total"]),
+            params, a, b)
+        add("encode (1 of 5 passes, fwd only)", jax.jit(
+            lambda p, x: encode(p, x, cfg)), params, a)
+        z = jax.jit(lambda p, x: encode(p, x, cfg))(params, a)
+        add("decode (fwd only)", jax.jit(
+            lambda p, z: decode(p, z, cfg)), params, z)
+        add("vgg losses (fwd only)", jax.jit(
+            lambda a, b: vgg_losses(vgg_params, a, b, b, n_layer=4)),
+            a, b)
+        add("matting loss+grad (fwd only)", jax.jit(
+            lambda a, b: matting_loss_and_grad(a, b)), a, b)
+    return rows
+
+
 def parity_gate(size: int = 128, seed: int = 0):
     """Cross-backend numeric parity vs the reference torch model."""
     import sys
@@ -168,7 +278,7 @@ def parity_gate(size: int = 128, seed: int = 0):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--test", default="all",
-                   choices=["shapes", "bench", "parity", "all"])
+                   choices=["shapes", "bench", "parity", "train", "photo", "all"])
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--batch", type=int, default=8)
@@ -181,6 +291,10 @@ def main(argv=None):
         test_input_shapes(args.size, n=args.n_shapes)
     if args.test in ("bench", "all"):
         run_benchmark(args.size, args.batch, args.iters)
+    if args.test == "train":
+        train_profile(min(args.size, 256), batch=2, iters=args.iters)
+    if args.test == "photo":
+        photo_pipeline_bench(args.size, iters=args.iters)
 
 
 if __name__ == "__main__":

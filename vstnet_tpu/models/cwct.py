@@ -145,6 +145,17 @@ def _apply(x, t, b):
                       precision=lax.Precision.HIGHEST) + b
 
 
+def _apply_native(x, t, b):
+    """y = x @ T^T + b applied in x's own dtype (bf16 fast path: skips the
+    f32 cast round trip of the full latent; statistics/factors stay f32).
+    f32 inputs still get HIGHEST (the parity path)."""
+    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+    y = jnp.einsum("nc,dc->nd", x, t.astype(x.dtype),
+                   preferred_element_type=jnp.float32, precision=prec)
+    return (y + b).astype(x.dtype)
+
+
 def _to_nc(feat):
     b, h, w, c = feat.shape
     return feat.reshape(b, h * w, c)
@@ -193,23 +204,112 @@ def style_factors(style_feat, eps: float = EPS_DEFAULT):
 @partial(jax.jit, static_argnames=("eps",))
 def transfer_with_factors(content_feat, ls, mu_s, eps: float = EPS_DEFAULT):
     """Global transfer against precomputed style factors. ls/mu_s may have
-    batch 1 to broadcast over the content batch (video frames)."""
+    batch 1 to broadcast over the content batch (video frames).
+
+    Statistics/factors run in f32; the per-pixel apply runs in the input's
+    own dtype (bf16 inference avoids the f32 round trip of the big
+    tensor)."""
     shape = content_feat.shape
-    dt = content_feat.dtype
-    xc = _to_nc(content_feat).astype(jnp.float32)
+    xc = _to_nc(content_feat)
     if ls.shape[0] == 1 and xc.shape[0] > 1:
         ls = jnp.broadcast_to(ls, (xc.shape[0], *ls.shape[1:]))
         mu_s = jnp.broadcast_to(mu_s, (xc.shape[0], *mu_s.shape[1:]))
 
     def one(x, l, m):
-        mc, cc = _feat_stats(x)
+        mc, cc = _feat_stats(x.astype(jnp.float32))
         lc = robust_cholesky(cc, eps)
         t = _mm(l, _inv_lower(lc))
         b = m - _mm(t, mc)
-        return _apply(x, t, b)
+        return _apply_native(x, t, b)
 
     out = jax.vmap(one)(xc, ls.astype(jnp.float32), mu_s.astype(jnp.float32))
-    return out.reshape(shape).astype(dt)
+    return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Packed-latent variants: the reversible net's final pixel-shuffles move
+# channels to space, but every shuffled pixel's latent vector is a
+# CONTIGUOUS C-chunk of the pre-shuffle channels — so the global cWCT
+# commutes with the shuffle. The fused inference path therefore skips the
+# shuffles entirely (models/revresnet_fast.py packed_latent=True) and runs
+# the transfer on the pre-shuffle NCHW tensor (B, G*C, h, w).
+# ---------------------------------------------------------------------------
+
+def _to_gcn(zp, c: int):
+    b, k, h, w = zp.shape
+    return zp.reshape(b, k // c, c, h * w)  # (B, G, C, N)
+
+
+def _packed_stats(x):
+    """x: (G, C, N) f32 -> mean (C,), cov (C, C)."""
+    n = x.shape[0] * x.shape[2]
+    mean = jnp.mean(x, axis=(0, 2))
+    xc = x - mean[None, :, None]
+    cov = jnp.einsum("gcn,gdn->cd", xc, xc,
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST) / (n - 1)
+    return mean, cov
+
+
+@partial(jax.jit, static_argnames=("c", "eps"))
+def style_factors_packed(zp, c: int, eps: float = EPS_DEFAULT):
+    """(Ls, mu_s) from a packed NCHW latent (B, G*C, h, w)."""
+    z = _to_gcn(zp, c).astype(jnp.float32)
+
+    def one(x):
+        mean, cov = _packed_stats(x)
+        return robust_cholesky(cov, eps), mean
+
+    return jax.vmap(one)(z)
+
+
+@partial(jax.jit, static_argnames=("c", "eps"))
+def transfer_with_factors_packed(zp, ls, mu_s, c: int,
+                                 eps: float = EPS_DEFAULT):
+    """Global transfer on a packed NCHW latent — same math as
+    transfer_with_factors on the shuffled latent (tested equivalent)."""
+    shape = zp.shape
+    z = _to_gcn(zp, c)
+    if ls.shape[0] == 1 and z.shape[0] > 1:
+        ls = jnp.broadcast_to(ls, (z.shape[0], *ls.shape[1:]))
+        mu_s = jnp.broadcast_to(mu_s, (z.shape[0], *mu_s.shape[1:]))
+
+    def one(x, l, m):  # x: (G, C, N)
+        mean, cov = _packed_stats(x.astype(jnp.float32))
+        lc = robust_cholesky(cov, eps)
+        t = _mm(l, _inv_lower(lc))
+        b = m - _mm(t, mean)
+        prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+                else lax.Precision.DEFAULT)
+        y = jnp.einsum("dc,gcn->gdn", t.astype(x.dtype), x,
+                       preferred_element_type=jnp.float32, precision=prec)
+        return (y + b[None, :, None]).astype(x.dtype)
+
+    out = jax.vmap(one)(z, ls.astype(jnp.float32), mu_s.astype(jnp.float32))
+    return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Streaming/global transform pieces (ultra-resolution tiled pipeline)
+# ---------------------------------------------------------------------------
+
+def transform_from_stats(mean_c, cov_c, ls, mu_s, eps: float = EPS_DEFAULT):
+    """Global-transfer transform from precomputed content statistics and
+    style factors: T = Ls Lc^{-1}, b = mu_s - T mu_c. Content statistics
+    may come from a streaming accumulation over tiles (models/ultra.py) —
+    mathematically identical to the in-graph whole-image path."""
+    lc = robust_cholesky(cov_c, eps)
+    t = _mm(ls, _inv_lower(lc))
+    b = mu_s - _mm(t, mean_c)
+    return t, b
+
+
+def apply_transform(feat, t, b):
+    """Apply y = x @ T^T + b to an NHWC latent (single transform)."""
+    shape = feat.shape
+    dt = feat.dtype
+    x = feat.reshape(-1, shape[-1]).astype(jnp.float32)
+    return _apply(x, t, b).reshape(shape).astype(dt)
 
 
 # ---------------------------------------------------------------------------

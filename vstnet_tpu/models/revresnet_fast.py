@@ -1,15 +1,23 @@
-"""Fast-path reversible network: fused Pallas coupling blocks in CW layout.
+"""Fast-path reversible network: fused flat-layout Pallas coupling blocks.
 
 Same math as models/revresnet.py (which remains the reference/training
 path), but the hot stride-1 coupling blocks run as single fused Pallas
-kernels in channels-on-sublanes (B, H, C, W) layout
-(vstnet_tpu/ops/coupling_cw.py). The two stride-2 transition blocks and the
-pixel shuffles stay in XLA (also in CW layout); the NHWC<->CW transposes
-happen once at the image/latent boundary.
+kernels in the flat rows-in-lanes layout (vstnet_tpu/ops/coupling_flat.py):
+one MXU dot per conv, all tap adds lane-aligned, intermediates in VMEM.
 
-Parity: bit-faithful to the standard path to f32 roundoff (the fused kernel
-reproduces per-conv ReflectionPad2d border semantics exactly); fused
-encode/decode remain exact inverses of each other.
+Stage routing (measured on v5e at 512^2):
+  * stage1 (16ch streams, 4ch mid, full res): XLA is ~25x off roofline
+    (lane-pads C=16 to 128); flat kernel ~2.9x faster than even an
+    isolated XLA block and ~4x in-network.
+  * stage2 (64ch): XLA pads 64->128 (2x waste); flat wins.
+  * stage3 (256ch) + reduction (256ch): C fills the lane tiles — XLA convs
+    are near-roofline there; fusing loses to VMEM pressure. They run XLA
+    in NCHW, which is also the natural neighbor layout of the flat form
+    (entering/leaving flat is a minor-dim pad/slice, not a transpose).
+
+Parity: bit-faithful to the standard path to f32 roundoff (the fused
+kernel reproduces per-conv ReflectionPad2d border semantics exactly);
+fused encode/decode remain exact inverses of each other.
 """
 
 from __future__ import annotations
@@ -22,38 +30,49 @@ import jax.numpy as jnp
 from jax import lax
 
 from vstnet_tpu.config import RevResNetConfig
-from vstnet_tpu.ops.coupling_cw import (
-    cw_to_nhwc,
-    fused_coupling_cw,
-    nhwc_to_cw,
-    pack_branch_weights,
-    pixel_shuffle_cw,
-    pixel_unshuffle_cw,
+from vstnet_tpu.ops.coupling_flat import (
+    col_offset,
+    flat_len,
+    fused_coupling_flat,
+    pack_branch_weights_flat,
+    row_stride,
 )
 
-
-VMEM_BUDGET = 14 * 1024 * 1024  # total kn2row intermediates (f32)
-# Fuse only the thin-stream stage (16ch streams / 4ch bottlenecks at full
-# res) — that's where XLA is ~25x off roofline. Fatter stages run XLA,
-# which is already adequate there (measured: 64ch stage fused with tiny
-# tiles LOSES to XLA).
-FUSE_MAX_CHANNELS = 16
+# Fuse stride-1 blocks whose stream channel count is at most this; fatter
+# stages run XLA (see module docstring).
+FUSE_MAX_CHANNELS = 64
+# VMEM budget for picking the row-tile size (v5e ~16 MB/core).
+VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def pick_tile(h: int, c: int = 16, w: int = 512) -> int:
-    """Largest divisor of h whose summed kn2row intermediates
-    (~(9c + 9*c/4*2 + extras) rows of (th+6) x (w+6) f32) fit VMEM."""
-    per_row = (w + 6) * 4 * (9 * c + 2 * 9 * max(c // 4, 1) + 4 * c)
+def pick_tile(h: int, c: int, w: int, dtype_bytes: int = 2) -> int:
+    """Largest tile height whose kernel working set fits VMEM.
+
+    Dominant live tensors per program (L = (th+6)*S lanes): the stacked
+    input (3*Cin, L) in activation dtype, the dot output (3*Mp, L) f32
+    (Mp = padded mid channels; conv3's is (3*C, L)), and the two stream
+    blocks.
+    """
+    s = row_stride(w)
+    mp = max(_rup8(c // 4), 8)
+    # peak ~ shift stack (3*Cin) in act dtype + dot output (3*Mp) f32,
+    # whichever conv is widest (validated against what Mosaic accepts on
+    # v5e: stage1 th=64 compiles and is fastest)
+    per_row = s * 3 * (c * dtype_bytes + max(mp, c) * 4)
     cap = max(VMEM_BUDGET // per_row - 6, 1)
-    for th in range(min(h, cap, 64), 0, -1):
+    for th in range(min(h, cap, 128), 0, -1):
         if h % th == 0:
             return th
     return 1
 
 
+def _rup8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
 def pack_revresnet(params: Dict, cfg: RevResNetConfig, dtype=None) -> Dict:
     """Standard params pytree -> fast-path pytree: stride-1 branches packed
-    for the fused kernel; stride-2 branches kept HWIO for the XLA path."""
+    for the fused flat kernel; others kept HWIO for the XLA path."""
     plan = cfg.block_plan()
 
     def cvt(tree):
@@ -62,12 +81,12 @@ def pack_revresnet(params: Dict, cfg: RevResNetConfig, dtype=None) -> Dict:
     stack = []
     for bp, (ch, stride) in zip(params["stack"], plan):
         if stride == 1 and ch <= FUSE_MAX_CHANNELS:
-            stack.append({"packed": cvt(pack_branch_weights(bp))})
+            stack.append({"packed": cvt(pack_branch_weights_flat(bp))})
         else:
             stack.append({"raw": cvt(bp)})
     red_ch = cfg.hidden_dim * 4 ** cfg.sp_steps
     reduction = [
-        {"packed": cvt(pack_branch_weights(bp))}
+        {"packed": cvt(pack_branch_weights_flat(bp))}
         if red_ch <= FUSE_MAX_CHANNELS else {"raw": cvt(bp)}
         for bp in params["reduction"]
     ]
@@ -75,113 +94,204 @@ def pack_revresnet(params: Dict, cfg: RevResNetConfig, dtype=None) -> Dict:
 
 
 # ---------------------------------------------------------------------------
-# XLA fallback branch in CW layout (stride-2 transition blocks)
+# NCHW XLA ops (stride-2 transitions, shuffles, fat stages)
 # ---------------------------------------------------------------------------
 
-def _reflect_pad_cw(x, pad: int):
-    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (pad, pad)),
+def _reflect_pad_nchw(x, pad: int):
+    return jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
                    mode="reflect")
 
 
-def _conv_cw(x, w, b, stride=1, relu=False):
+def _conv_nchw(x, w, b, stride=1, relu=False):
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), "VALID",
-        dimension_numbers=("NHCW", "HWIO", "NHCW"),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
         preferred_element_type=jnp.float32,
         precision=(lax.Precision.HIGHEST if x.dtype == jnp.float32
                    else lax.Precision.DEFAULT),
     )
-    out = out + b.astype(jnp.float32)[None, None, :, None]
+    out = out + b.astype(jnp.float32)[None, :, None, None]
     if relu:
         out = jax.nn.relu(out)
     return out.astype(x.dtype)
 
 
-def _branch_cw_xla(x, raw, stride):
-    h = _conv_cw(_reflect_pad_cw(x, 1), raw["conv1"]["w"], raw["conv1"]["b"],
-                 stride=stride, relu=True)
-    h = _conv_cw(_reflect_pad_cw(h, 1), raw["conv2"]["w"], raw["conv2"]["b"],
-                 relu=True)
-    return _conv_cw(_reflect_pad_cw(h, 1), raw["conv3"]["w"],
-                    raw["conv3"]["b"])
+def _branch_nchw(x, raw, stride):
+    h = _conv_nchw(_reflect_pad_nchw(x, 1), raw["conv1"]["w"],
+                   raw["conv1"]["b"], stride=stride, relu=True)
+    h = _conv_nchw(_reflect_pad_nchw(h, 1), raw["conv2"]["w"],
+                   raw["conv2"]["b"], relu=True)
+    return _conv_nchw(_reflect_pad_nchw(h, 1), raw["conv3"]["w"],
+                      raw["conv3"]["b"])
 
 
-def _block_forward_cw(x1, x2, bp, stride):
-    if stride == 1 and "packed" in bp:
-        _, h, c, w = x1.shape
-        return x2, fused_coupling_cw(
-            x1, x2, bp["packed"], th=pick_tile(h, c, w))
-    if stride == 1:
-        return x2, _branch_cw_xla(x2, bp["raw"], 1) + x1
-    fx2 = _branch_cw_xla(x2, bp["raw"], stride)
-    x1 = pixel_unshuffle_cw(x1)
-    x2 = pixel_unshuffle_cw(x2)
-    return x2, fx2 + x1
+def pixel_unshuffle_nchw(x, size: int = 2):
+    """(B,C,H,W) -> (B,s*s*C,H/s,W/s), torch channel order (s1,s2,c)."""
+    b, c, h, w = x.shape
+    nh, nw = h // size, w // size
+    x = x.reshape(b, c, nh, size, nw, size)
+    x = x.transpose(0, 3, 5, 1, 2, 4)
+    return x.reshape(b, size * size * c, nh, nw)
 
 
-def _block_inverse_cw(y1, y2, bp, stride):
-    if stride == 1 and "packed" in bp:
-        x2 = y1
-        _, h, c, w = x2.shape
-        x1 = fused_coupling_cw(
-            y2, x2, bp["packed"], th=pick_tile(h, c, w), inverse=True)
-        return x1, x2
-    if stride == 1:
-        x2 = y1
-        return y2 - _branch_cw_xla(x2, bp["raw"], 1), x2
-    x2 = pixel_shuffle_cw(y1)
-    fx2 = _branch_cw_xla(x2, bp["raw"], stride)
-    x1 = pixel_shuffle_cw(y2 - fx2)
-    return x1, x2
+def pixel_shuffle_nchw(x, size: int = 2):
+    b, c, h, w = x.shape
+    nc = c // (size * size)
+    x = x.reshape(b, size, size, nc, h, w)
+    x = x.transpose(0, 3, 4, 1, 5, 2)
+    return x.reshape(b, nc, h * size, w * size)
+
+
+# ---------------------------------------------------------------------------
+# flat <-> NCHW (minor-dim pad/slice only)
+# ---------------------------------------------------------------------------
+
+def _to_flat(x):
+    b, c, h, w = x.shape
+    s = row_stride(w)
+    co = col_offset(w)
+    x = jnp.pad(x, ((0, 0), (0, 0), (3, 3), (co, s - w - co)))
+    return x.reshape(b, c, (h + 6) * s)
+
+
+def _from_flat(xf, h: int, w: int):
+    b, c, _ = xf.shape
+    s = row_stride(w)
+    co = col_offset(w)
+    return xf.reshape(b, c, h + 6, s)[:, :, 3:3 + h, co:co + w]
 
 
 # ---------------------------------------------------------------------------
 # Encoder / decoder
 # ---------------------------------------------------------------------------
 
-def _split_cw(x):
-    n = x.shape[2] // 2
-    return x[:, :, :n, :], x[:, :, n:, :]
+def _fused_stage_forward(x1, x2, blocks, h, w):
+    """Run consecutive fused stride-1 blocks keeping streams flat."""
+    c = x1.shape[1]
+    th = pick_tile(h, c, w)
+    x1f, x2f = _to_flat(x1), _to_flat(x2)
+    for bp in blocks:
+        x1f, x2f = x2f, fused_coupling_flat(x1f, x2f, bp["packed"], h, w,
+                                            th=th)
+    return _from_flat(x1f, h, w), _from_flat(x2f, h, w)
 
 
-def _merge_cw(x1, x2):
-    return jnp.concatenate([x1, x2], axis=2)
+def _fused_stage_inverse(x1, x2, blocks, h, w):
+    c = x1.shape[1]
+    th = pick_tile(h, c, w)
+    x1f, x2f = _to_flat(x1), _to_flat(x2)
+    for bp in reversed(blocks):
+        # forward: (a, b) -> (b, F(b)+a); inverse: (p, q) -> (q - F(p), p)
+        x1f, x2f = fused_coupling_flat(x2f, x1f, bp["packed"], h, w,
+                                       th=th, inverse=True), x1f
+    return _from_flat(x1f, h, w), _from_flat(x2f, h, w)
 
 
-def encode_fast(fast_params: Dict, x, cfg: RevResNetConfig):
-    """x: NHWC (B, H, W, 3) -> latent NHWC, via the fused CW path."""
+def _block_forward_nchw(x1, x2, bp, stride):
+    if stride == 1:
+        return x2, _branch_nchw(x2, bp["raw"], 1) + x1
+    fx2 = _branch_nchw(x2, bp["raw"], stride)
+    x1 = pixel_unshuffle_nchw(x1)
+    x2 = pixel_unshuffle_nchw(x2)
+    return x2, fx2 + x1
+
+
+def _block_inverse_nchw(y1, y2, bp, stride):
+    if stride == 1:
+        x2 = y1
+        return y2 - _branch_nchw(x2, bp["raw"], 1), x2
+    x2 = pixel_shuffle_nchw(y1)
+    fx2 = _branch_nchw(x2, bp["raw"], stride)
+    x1 = pixel_shuffle_nchw(y2 - fx2)
+    return x1, x2
+
+
+def _segments(fast_params, plan):
+    """Group the block plan into runs of (fused? , blocks)."""
+    runs = []
+    for bp, (ch, stride) in zip(fast_params["stack"], plan):
+        fused = "packed" in bp
+        if runs and runs[-1][0] == fused and (not fused or stride == 1):
+            runs[-1][1].append((bp, stride))
+        else:
+            runs.append((fused, [(bp, stride)]))
+    return runs
+
+
+def encode_fast(fast_params: Dict, x, cfg: RevResNetConfig,
+                packed_latent: bool = False):
+    """x: NHWC (B, H, W, 3) -> latent NHWC, via the fused flat path.
+
+    packed_latent=True returns the pre-shuffle NCHW tensor
+    (B, latent_channels * 4**sp_steps, H/4, W/4) and skips the final
+    pixel shuffles + layout transpose: each shuffled pixel's latent is a
+    contiguous C-chunk of these channels, so the global cWCT can run
+    directly on this form (cwct.transfer_with_factors_packed) and
+    decode_fast(packed_latent=True) consumes it back — saving ~1 ms/frame
+    of shuffle transposes per stylize round trip."""
     plan = cfg.block_plan()
-    xc = nhwc_to_cw(x)
-    xc = jnp.pad(xc, ((0, 0), (0, 0), (0, cfg.inj_pad), (0, 0)))
-    x1, x2 = _split_cw(xc)
-    for bp, (_, stride) in zip(fast_params["stack"], plan):
-        x1, x2 = _block_forward_cw(x1, x2, bp, stride)
-    x = _merge_cw(x1, x2)
+    x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW
+    x = jnp.pad(x, ((0, 0), (0, cfg.inj_pad), (0, 0), (0, 0)))
+    n = x.shape[1] // 2
+    x1, x2 = x[:, :n], x[:, n:]
 
-    # channel reduction
-    x1, x2 = _split_cw(x)
-    for bp in fast_params["reduction"]:
-        x1, x2 = _block_forward_cw(x1, x2, bp, 1)
-    x = _merge_cw(x1, x2)
+    for fused, blocks in _segments(fast_params, plan):
+        if fused:
+            h, w = x1.shape[2], x1.shape[3]
+            x1, x2 = _fused_stage_forward(
+                x1, x2, [bp for bp, _ in blocks], h, w)
+        else:
+            for bp, stride in blocks:
+                x1, x2 = _block_forward_nchw(x1, x2, bp, stride)
+
+    x = jnp.concatenate([x1, x2], axis=1)
+    n = x.shape[1] // 2
+    x1, x2 = x[:, :n], x[:, n:]
+    red = fast_params["reduction"]
+    if red and "packed" in red[0]:
+        h, w = x1.shape[2], x1.shape[3]
+        x1, x2 = _fused_stage_forward(x1, x2, red, h, w)
+    else:
+        for bp in red:
+            x1, x2 = _block_forward_nchw(x1, x2, bp, 1)
+    x = jnp.concatenate([x1, x2], axis=1)
+    if packed_latent:
+        return x
     for _ in range(cfg.sp_steps):
-        x = pixel_shuffle_cw(x)
-    return cw_to_nhwc(x)
+        x = pixel_shuffle_nchw(x)
+    return jnp.transpose(x, (0, 2, 3, 1))
 
 
-def decode_fast(fast_params: Dict, z, cfg: RevResNetConfig):
+def decode_fast(fast_params: Dict, z, cfg: RevResNetConfig,
+                packed_latent: bool = False):
     plan = cfg.block_plan()
-    x = nhwc_to_cw(z)
-    for _ in range(cfg.sp_steps):
-        x = pixel_unshuffle_cw(x)
-    x1, x2 = _split_cw(x)
-    for bp in reversed(fast_params["reduction"]):
-        x1, x2 = _block_inverse_cw(x1, x2, bp, 1)
-    x = _merge_cw(x1, x2)
+    if packed_latent:
+        x = z
+    else:
+        x = jnp.transpose(z, (0, 3, 1, 2))
+        for _ in range(cfg.sp_steps):
+            x = pixel_unshuffle_nchw(x)
+    n = x.shape[1] // 2
+    x1, x2 = x[:, :n], x[:, n:]
+    red = fast_params["reduction"]
+    if red and "packed" in red[0]:
+        h, w = x1.shape[2], x1.shape[3]
+        x1, x2 = _fused_stage_inverse(x1, x2, red, h, w)
+    else:
+        for bp in reversed(red):
+            x1, x2 = _block_inverse_nchw(x1, x2, bp, 1)
+    x = jnp.concatenate([x1, x2], axis=1)
 
-    x1, x2 = _split_cw(x)
-    for bp, (_, stride) in zip(reversed(fast_params["stack"]),
-                               reversed(plan)):
-        x1, x2 = _block_inverse_cw(x1, x2, bp, stride)
-    x = _merge_cw(x1, x2)
-    x = x[:, :, : x.shape[2] - cfg.inj_pad, :]
-    return cw_to_nhwc(x)
+    n = x.shape[1] // 2
+    x1, x2 = x[:, :n], x[:, n:]
+    for fused, blocks in reversed(_segments(fast_params, plan)):
+        if fused:
+            h, w = x1.shape[2], x1.shape[3]
+            x1, x2 = _fused_stage_inverse(
+                x1, x2, [bp for bp, _ in blocks], h, w)
+        else:
+            for bp, stride in reversed(blocks):
+                x1, x2 = _block_inverse_nchw(x1, x2, bp, stride)
+    x = jnp.concatenate([x1, x2], axis=1)
+    x = x[:, : x.shape[1] - cfg.inj_pad]
+    return jnp.transpose(x, (0, 2, 3, 1))

@@ -1,33 +1,36 @@
-"""Fused coupling-block kernel v2: "flat rows-in-lanes" layout.
+"""Fused coupling-block kernel: "flat rows-in-lanes" layout (v3).
 
 Motivation (measured on v5e): XLA's conv path runs the 16ch/4ch stage of
 the reversible network ~25x off roofline (5.85 ms/frame for 10 blocks at
-512^2); a first Pallas kernel in (B,H,C,W) halved that but was limited by
-per-row MXU dispatches, and Mosaic cannot lower 3D dot_generals or
-sublane-lane reshapes.
-
-This version makes every kernel op a native 2D Mosaic op by flattening the
-image into lane space:
+512^2, B=16) because NHWC minor dims (W, C<=16) force (8,128) tile padding
+and every conv round-trips HBM. This kernel makes every hot op a native 2D
+Mosaic op by flattening the image into lane space:
 
     tensor layout: (B, C, L) with L = (H + 6) * S,  S = row stride =
-    (W + 6 + padding) rounded up to 128 lanes. Row r of the image lives in
-    lanes [(r+3)*S, (r+4)*S); cols [3, 3+W) of a row are valid.
+    (W + 6) rounded up to 128 lanes. Row r of the image lives in lanes
+    [(r+3)*S, (r+4)*S); cols [3, 3+W) of a row are valid.
 
-  * one MXU dot per conv per tile: (9*Cout, Cin) x (Cin, T*S)
-  * the 3x3 kernel support = 9 shifted lane-slice adds (dy rows = dy*S
-    lanes, dx cols = dx lanes)
-  * reflect borders (torch ReflectionPad2d, per conv, exactly like the
-    reference models/RevResNet.py:79-88):
-      - W edges: every row needs col (2) and col (3+W) mirrored before each
-        conv -> two lane-rolls + masked selects over the whole tile
-      - H edges: only the first/last grid tiles mirror their halo row
-        segments (lane-slice concat under jnp.where)
-  * halo rows between tiles are REAL rows read via overlapping Element
-    blocks; the 3+3 allocated boundary rows are never read (boundary tiles
-    reconstruct them by reflection), so no halo maintenance pass exists.
+v3 performance structure (v2's measured cost: 65 us/frame memory floor +
+85 us dots + ~330 us of misaligned tap shifts and unconditional reflect
+fixes, per block at 512^2):
 
-Exactness: identical math to the reference path (verified to f32 roundoff
-in tests); the fused encode/decode pair stays exactly inverse.
+  * column taps folded into the dot: the input is stacked as
+    [shift+1, center, shift-1] rows -> ONE (3*Cin, 3*Mp) x (3*Cin, L) MXU
+    dot per conv; only the 3 row taps remain as adds, each offset by a
+    multiple of S (S % 128 == 0) -> every slice is lane- and sublane-
+    aligned.
+  * column reflection (torch ReflectionPad2d at the true image edge,
+    reference models/RevResNet.py:79-88) merged into those two shifted
+    copies: 2 selects on the Cin-row input instead of rolls+selects on
+    every conv output.
+  * row reflection runs under lax.cond — only the first/last grid tiles
+    pay it; interior tiles skip the copies entirely.
+  * bottleneck channel counts padded to sublane multiples (8) so per-tap
+    row offsets stay aligned; junk channels carry zero weights/biases.
+
+Exactness: identical math to the reference path (f32 parity tests); the
+fused encode/decode pair stays exactly inverse (the inverse re-evaluates
+the same F bit-for-bit).
 """
 
 from __future__ import annotations
@@ -43,33 +46,87 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 3  # rows/cols of boundary slack around the image
 
 
+def _rup(n: int, m: int = 8) -> int:
+    return (n + m - 1) // m * m
+
+
+def pack_branch_weights_flat(branch, dtype=None):
+    """{conv1,conv2,conv3: {w (3,3,Cin,Cout), b}} -> stacked flat form.
+
+    Weight matrix per conv: (3*Cin_p, 3*Mp) with row block kx*Cin_p + ci
+    and column block ky*Mp + co — matching the kernel's [x(c-1), x(c),
+    x(c+1)] input stack, so one dot yields the three row-tap partials."""
+    def pack(w, cin_p, cout_p):
+        kh, kw, cin, cout = w.shape
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin),
+                        (0, cout_p - cout)))
+        # (ky, kx, ci, co) -> (kx, ci, ky, co) -> (3*cin_p, 3*cout_p)
+        return jnp.transpose(w, (1, 2, 0, 3)).reshape(
+            kw * cin_p, kh * cout_p)
+
+    w1, b1 = branch["conv1"]["w"], branch["conv1"]["b"]
+    w2, b2 = branch["conv2"]["w"], branch["conv2"]["b"]
+    w3, b3 = branch["conv3"]["w"], branch["conv3"]["b"]
+    m1p, m2p = _rup(w1.shape[3]), _rup(w2.shape[3])
+    packed = {
+        "w1": pack(w1, w1.shape[2], m1p),
+        "b1": jnp.pad(b1, (0, m1p - b1.shape[0])).reshape(-1, 1),
+        "w2": pack(w2, m1p, m2p),
+        "b2": jnp.pad(b2, (0, m2p - b2.shape[0])).reshape(-1, 1),
+        "w3": pack(w3, m2p, w3.shape[3]),
+        "b3": b3.reshape(-1, 1),
+    }
+    if dtype is not None:
+        packed = jax.tree.map(lambda a: a.astype(dtype), packed)
+    return packed
+
+
 def row_stride(w: int) -> int:
-    """Lane stride of one image row: W + 2*HALO rounded up to 128."""
+    """Lane stride of one image row.
+
+    When W is a multiple of 128 the stride is exactly W — no column halo
+    at all: the in-kernel edge-reflection selects already REPLACE the +-1
+    taps at image columns 0/W-1, so the lane that would wrap into the
+    neighboring row is never consumed. Otherwise W + 2*HALO rounded up to
+    128 (halo slack holds the rounding). This removes 20-50% of the lane
+    traffic and dot width on the production shapes (512/256/128)."""
+    if w % 128 == 0:
+        return w
     return ((w + 2 * HALO) + 127) // 128 * 128
 
 
-def flat_len(h: int, w: int) -> int:
-    return (h + 2 * HALO) * row_stride(w)
+def col_offset(w: int) -> int:
+    """Lane offset of image column 0 within a row."""
+    return 0 if w % 128 == 0 else HALO
+
+
+def flat_len(h: int, w: int, halo_rows: int = HALO) -> int:
+    return (h + 2 * halo_rows) * row_stride(w)
 
 
 # ---------------------------------------------------------------------------
 # Layout conversion (XLA side)
 # ---------------------------------------------------------------------------
 
-def nhwc_to_flat(x):
-    """(B, H, W, C) -> (B, C, (H+6)*S). Boundary slots are zero (their
-    contents are never read — kernels reconstruct reflections)."""
+def nhwc_to_flat(x, halo_rows: int = HALO):
+    """(B, H, W, C) -> (B, C, (H+2R)*S). Boundary slots are zero (their
+    contents are never read — kernels reconstruct reflections). R = 3 for
+    single-block kernels, 3k for a k-block chain."""
     b, h, w, c = x.shape
     s = row_stride(w)
+    co = col_offset(w)
     x = jnp.transpose(x, (0, 3, 1, 2))  # (B, C, H, W)
-    x = jnp.pad(x, ((0, 0), (0, 0), (HALO, HALO), (HALO, s - w - HALO)))
-    return x.reshape(b, c, (h + 2 * HALO) * s)
+    x = jnp.pad(x, ((0, 0), (0, 0), (halo_rows, halo_rows),
+                    (co, s - w - co)))
+    return x.reshape(b, c, (h + 2 * halo_rows) * s)
 
 
-def flat_to_nhwc(xf, h: int, w: int):
+def flat_to_nhwc(xf, h: int, w: int, halo_rows: int = HALO):
     b, c, _ = xf.shape
     s = row_stride(w)
-    x = xf.reshape(b, c, h + 2 * HALO, s)[:, :, HALO:HALO + h, HALO:HALO + w]
+    co = col_offset(w)
+    x = xf.reshape(b, c, h + 2 * halo_rows, s)[
+        :, :, halo_rows:halo_rows + h, co:co + w]
     return jnp.transpose(x, (0, 2, 3, 1))
 
 
@@ -77,31 +134,52 @@ def flat_to_nhwc(xf, h: int, w: int):
 # Kernel helpers (all 2D: (channels, lanes))
 # ---------------------------------------------------------------------------
 
-def _fix_cols(x, s: int, w: int, n_lanes: int):
-    """Mirror one column on each side of every row: col 2 <- col 4 and
-    col (3+W) <- col (1+W)... in image terms, col -1 <- col +1.
-
-    Positions within a row: valid cols at [3, 3+W); we fix lane offset 2
-    (image col -1) from offset 4 (image col +1), and offset 3+W (image col
-    W) from offset 1+W (image col W-2)."""
-    lanes = lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1)
-    pos = lanes % s
-    # circular lane shifts via slice+concat (pltpu.roll lacks bf16 support)
-    left = jnp.concatenate([x[:, 2:], x[:, :2]], 1)    # lane l <- l+2
-    right = jnp.concatenate([x[:, -2:], x[:, :-2]], 1)  # lane l <- l-2
-    x = jnp.where(pos == 2, left, x)
-    x = jnp.where(pos == 3 + w, right, x)
-    return x
+def _shift_stack(x, pos, w_img: int, co: int):
+    """[x(c-1), x(c), x(c+1)] stacked on sublanes, with image-edge column
+    reflection folded in: at image col 0 the (c-1) tap reads col +1; at
+    image col W-1 the (c+1) tap reads col W-2. The selects also make the
+    cross-row lane wrap harmless in the haloless (S == W) layout."""
+    xr0 = jnp.concatenate([x[:, -1:], x[:, :-1]], 1)  # y(c) = x(c-1)
+    xl0 = jnp.concatenate([x[:, 1:], x[:, :1]], 1)    # y(c) = x(c+1)
+    xr = jnp.where(pos == co, xl0, xr0)
+    xl = jnp.where(pos == co + w_img - 1, xr0, xl0)
+    return jnp.concatenate([xr, x, xl], axis=0)
 
 
-def _fix_rows(x, s: int, rows_to_fix, is_top, is_bottom,
-              tc: int, bc: int):
-    """Mirror halo row segments at the image top/bottom.
+def _conv_flat(x, w_packed, b, mp: int, s: int, pos, w_img: int, co: int,
+               relu: bool, out_dtype):
+    """3x3 conv via one stacked dot + 3 aligned row-tap adds.
 
-    x: (C, frame_rows*S). tc = frame row holding image row 0 (top tiles);
-    bc = frame row holding image row H-1 (bottom tiles). For j in
-    rows_to_fix: top row (tc - j) <- (tc + j); bottom (bc + j) <- (bc - j).
-    """
+    x: (Cin, L). Returns (mp, L - 2S): the output FRAME shrinks one row
+    each side (out local row r' = input local row r'+1), so every tap
+    slice lands in-bounds with offsets 0/S/2S — aligned, no guard copy."""
+    precision = (
+        lax.Precision.HIGHEST if w_packed.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    xs = _shift_stack(x, pos, w_img, co)
+    p = lax.dot_general(
+        w_packed, xs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (3*mp, L): row block ky
+    n_out = x.shape[1] - 2 * s
+    out = None
+    for ky in range(3):
+        piece = lax.slice(
+            p, (ky * mp, ky * s), ((ky + 1) * mp, ky * s + n_out))
+        out = piece if out is None else out + piece
+    out = out + b
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(out_dtype)
+
+
+def _reflect_rows(x, s: int, rows, center_top: int, center_bot: int,
+                  is_top, is_bottom):
+    """Mirror halo row segments at the image top/bottom under lax.cond —
+    interior tiles skip the copies. For j in rows: top row (ct - j) <-
+    (ct + j); bottom (cb + j) <- (cb - j)."""
     n_lanes = x.shape[1]
 
     def replace_row(xx, dst: int, src: int):
@@ -113,50 +191,21 @@ def _fix_rows(x, s: int, rows_to_fix, is_top, is_bottom,
             pieces.append(xx[:, (dst + 1) * s:])
         return jnp.concatenate(pieces, axis=1)
 
-    top = x
-    bot = x
-    for j in rows_to_fix:
-        top = replace_row(top, tc - j, tc + j)
-        bot = replace_row(bot, bc + j, bc - j)
-    x = jnp.where(is_top, top, x)
-    x = jnp.where(is_bottom, bot, x)
-    return x
+    def fix(xx):
+        top = xx
+        for j in rows:
+            top = replace_row(top, center_top - j, center_top + j)
+        top = jnp.where(is_top, top, xx)
+        bot = top
+        for j in rows:
+            bot = replace_row(bot, center_bot + j, center_bot - j)
+        return jnp.where(is_bottom, bot, top)
 
-
-def _conv_flat(x, w_packed, cout: int, s: int, out_lanes: int,
-               out_base: int):
-    """3x3 conv in flat layout.
-
-    x: (Cin, n_lanes) — reflect-fixed input.
-    Returns (cout, out_lanes) f32 starting at lane offset out_base of x's
-    coordinate frame (out_base points at the first output row's lane 0).
-    """
-    precision = (
-        lax.Precision.HIGHEST if w_packed.dtype == jnp.float32
-        else lax.Precision.DEFAULT
-    )
-    p = jax.lax.dot_general(
-        w_packed, x, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # (9*cout, n_lanes)
-    # guard lanes: tap offsets reach 1 lane past each end (junk positions)
-    zero = jnp.zeros((p.shape[0], 1), p.dtype)
-    p = jnp.concatenate([zero, p, zero], axis=1)
-
-    out = None
-    for ky in range(3):
-        for kx in range(3):
-            n0 = (ky * 3 + kx) * cout
-            start = 1 + out_base + (ky - 1) * s + (kx - 1)
-            piece = lax.slice(
-                p, (n0, start), (n0 + cout, start + out_lanes))
-            out = piece if out is None else out + piece
-    return out
+    return lax.cond(is_top | is_bottom, fix, lambda xx: xx, x)
 
 
 def _coupling_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                          w3_ref, b3_ref, out_ref, *, th, s, w_img, c,
+                          w3_ref, b3_ref, out_ref, *, th, s, w_img, co, c,
                           n_tiles, inverse):
     """One grid program: output rows [i*TH, i*TH+TH).
 
@@ -167,37 +216,31 @@ def _coupling_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     is_top = i == 0
     is_bottom = i == n_tiles - 1
     t = th + 2 * HALO
-    n_lanes = t * s
     dt = x2_ref.dtype
+    m1 = b1_ref.shape[0]
+    m2 = b2_ref.shape[0]
 
+    def pos(n_lanes):
+        return lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1) % s
+
+    # Frames: input covers absolute rows [0, t); each conv's output frame
+    # drops one row per side. Image row 0 sits at absolute row 3 (top
+    # tile); image row H-1 at absolute row t-4 (bottom tile) — reflection
+    # centers below are those, expressed in each tensor's local frame.
     x = x2_ref[0]
-    # input fixes: rows ±(1..3) at image boundary; col ±1 for conv1.
-    # x frame: image row 0 at frame row 3 (top), image row H-1 at frame
-    # row t-4 (bottom tile covers image rows [H-TH-3, H+2]).
-    x = _fix_rows(x, s, (1, 2, 3), is_top, is_bottom, HALO, t - 4)
-    x1c = _fix_cols(x, s, w_img, n_lanes)
+    x = _reflect_rows(x, s, (1, 2, 3), HALO, t - 4, is_top, is_bottom)
 
-    # conv1: h1 valid on local rows [1, t-1) — compute lanes [s, (t-1)*s)
-    h1_lanes = (t - 2) * s
-    h1 = _conv_flat(x1c, w1_ref[...], b1_ref.shape[0], s, h1_lanes, s)
-    h1 = jnp.maximum(h1 + b1_ref[...][:, :1], 0.0).astype(dt)
-    # h1 frame: rows [1, t-1): image row 0 at frame 2; H-1 at frame t-5
-    h1 = _fix_rows(h1, s, (1, 2), is_top, is_bottom, 2, t - 5)
-    h1 = _fix_cols(h1, s, w_img, h1_lanes)
+    h1 = _conv_flat(x, w1_ref[...], b1_ref[...], m1, s, pos(t * s), w_img,
+                    co, relu=True, out_dtype=dt)      # frame [1, t-1)
+    h1 = _reflect_rows(h1, s, (1, 2), HALO - 1, t - 5, is_top, is_bottom)
 
-    # conv2: h2 valid on local rows [2, t-2)
-    h2_lanes = (t - 4) * s
-    h2 = _conv_flat(h1, w2_ref[...], b2_ref.shape[0], s, h2_lanes, s)
-    h2 = jnp.maximum(h2 + b2_ref[...][:, :1], 0.0).astype(dt)
-    # h2 frame: rows [2, t-2): image row 0 at frame 1; H-1 at frame t-6
-    h2 = _fix_rows(h2, s, (1,), is_top, is_bottom, 1, t - 6)
-    h2 = _fix_cols(h2, s, w_img, h2_lanes)
+    h2 = _conv_flat(h1, w2_ref[...], b2_ref[...], m2, s, pos((t - 2) * s),
+                    w_img, co, relu=True, out_dtype=dt)  # frame [2, t-2)
+    h2 = _reflect_rows(h2, s, (1,), HALO - 2, t - 6, is_top, is_bottom)
 
-    # conv3: fx on local rows [3, t-3) == output rows
-    fx_lanes = (t - 6) * s
-    fx = _conv_flat(h2, w3_ref[...], c, s, fx_lanes, s)
-    fx = fx + b3_ref[...][:, :1]
-
+    fx = _conv_flat(h2, w3_ref[...], b3_ref[...], c, s, pos((t - 4) * s),
+                    w_img, co, relu=False, out_dtype=jnp.float32)
+    # fx frame is [3, t-3) == exactly the output rows
     x1 = x1_ref[0].astype(jnp.float32)
     y = (x1 - fx) if inverse else (fx + x1)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -219,7 +262,7 @@ def fused_coupling_flat(x1f, x2f, packed, h: int, w: int, th: int = 64,
 
     el = pl.Element
     kernel = partial(
-        _coupling_kernel_flat, th=th, s=s, w_img=w, c=c,
+        _coupling_kernel_flat, th=th, s=s, w_img=w, co=col_offset(w), c=c,
         n_tiles=n_tiles, inverse=inverse,
     )
     return pl.pallas_call(
@@ -246,3 +289,111 @@ def fused_coupling_flat(x1f, x2f, packed, h: int, w: int, th: int = 64,
         interpret=interpret,
     )(x2f, x1f, packed["w1"], packed["b1"], packed["w2"], packed["b2"],
       packed["w3"], packed["b3"])
+
+
+# ---------------------------------------------------------------------------
+# Chain kernel: k consecutive coupling blocks fused in one pallas_call.
+# Streams stay in VMEM across blocks (the single-block kernel pays
+# ~65 us/frame/block of HBM stream traffic at 512^2 — the chain amortizes
+# it over k). Valid rows shrink by 3 per block, so the flat buffers carry
+# R = 3k halo rows and each grid tile reads TH + 2R rows.
+# ---------------------------------------------------------------------------
+
+def pack_chain_weights_flat(branches, dtype=None):
+    """List of k branch pytrees -> stacked packed weights (k, ...)."""
+    ps = [pack_branch_weights_flat(b, dtype) for b in branches]
+    return {key: jnp.stack([p[key] for p in ps]) for key in ps[0]}
+
+
+def _chain_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       w3_ref, b3_ref, out1_ref, out2_ref, *, k, th, s,
+                       w_img, co, c, n_tiles, inverse):
+    i = pl.program_id(1)
+    is_top = i == 0
+    is_bottom = i == n_tiles - 1
+    r = 3 * k
+    t = th + 2 * r
+    dt = x2_ref.dtype
+    m1 = b1_ref.shape[1]
+    m2 = b2_ref.shape[1]
+
+    def pos(n):
+        return lax.broadcasted_iota(jnp.int32, (1, n), 1) % s
+
+    def mid(a):
+        return lax.slice(a, (0, HALO * s), (a.shape[0], a.shape[1] - HALO * s))
+
+    s1 = x1_ref[0]
+    s2 = x2_ref[0]
+    for j in range(k):
+        jj = (k - 1 - j) if inverse else j
+        off = HALO * j          # absolute frame row of the current tensors
+        ct = r - off            # local row of image row 0 (top tiles)
+        cb = (t - 1 - r) - off  # local row of image row H-1 (bottom tiles)
+        # forward step: (a, b) -> (b, F(b) + a); inverse: (p, q) -> (q - F(p), p)
+        src = s1 if inverse else s2
+        xx = _reflect_rows(src, s, (1, 2, 3), ct, cb, is_top, is_bottom)
+        n0 = xx.shape[1]
+        h1 = _conv_flat(xx, w1_ref[jj], b1_ref[jj], m1, s, pos(n0), w_img,
+                        co, relu=True, out_dtype=dt)
+        h1 = _reflect_rows(h1, s, (1, 2), ct - 1, cb - 1, is_top, is_bottom)
+        h2 = _conv_flat(h1, w2_ref[jj], b2_ref[jj], m2, s, pos(n0 - 2 * s),
+                        w_img, co, relu=True, out_dtype=dt)
+        h2 = _reflect_rows(h2, s, (1,), ct - 2, cb - 2, is_top, is_bottom)
+        fx = _conv_flat(h2, w3_ref[jj], b3_ref[jj], c, s, pos(n0 - 4 * s),
+                        w_img, co, relu=False, out_dtype=jnp.float32)
+        if inverse:
+            s1, s2 = (
+                (mid(s2).astype(jnp.float32) - fx).astype(dt), mid(s1))
+        else:
+            s1, s2 = (
+                mid(s2), (fx + mid(s1).astype(jnp.float32)).astype(dt))
+    out1_ref[0] = s1.astype(out1_ref.dtype)
+    out2_ref[0] = s2.astype(out2_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "th", "inverse", "interpret"))
+def fused_coupling_chain_flat(x1f, x2f, chain, h: int, w: int, th: int = 32,
+                              inverse: bool = False,
+                              interpret: bool = False):
+    """k fused coupling blocks on flat tensors with R = 3k halo rows.
+
+    x1f, x2f: (B, C, (H+2R)*S) from nhwc_to_flat(..., halo_rows=R).
+    Returns (y1f, y2f) in the same layout (halo slots garbage). Forward
+    applies blocks 0..k-1 in order; inverse applies their inverses in
+    reverse order (i.e. inverts the same forward chain).
+    """
+    b, c, n_lanes = x2f.shape
+    k = chain["w1"].shape[0]
+    r = HALO * k
+    s = row_stride(w)
+    assert n_lanes == (h + 2 * r) * s, (n_lanes, h, r, s)
+    assert h % th == 0, f"H={h} not divisible by tile {th}"
+    # A tile's halo must not cross the image edge unless it IS the edge
+    # tile (only is_top/is_bottom apply the reflection fixes).
+    assert th >= r or h <= th, f"tile {th} < chain halo {r}"
+    n_tiles = h // th
+    t = th + 2 * r
+
+    el = pl.Element
+    kernel = partial(
+        _chain_kernel_flat, k=k, th=th, s=s, w_img=w, co=col_offset(w), c=c,
+        n_tiles=n_tiles, inverse=inverse,
+    )
+    stream_spec = pl.BlockSpec((el(1), el(c), el(t * s)),
+                               lambda bb, ii: (bb, 0, ii * th * s),
+                               memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((el(1), el(c), el(th * s)),
+                            lambda bb, ii: (bb, 0, (r + ii * th) * s),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[stream_spec, stream_spec]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct(x1f.shape, x1f.dtype),
+                   jax.ShapeDtypeStruct(x2f.shape, x2f.dtype)),
+        interpret=interpret,
+    )(x2f, x1f, chain["w1"], chain["b1"], chain["w2"], chain["b2"],
+      chain["w3"], chain["b3"])
