@@ -72,3 +72,59 @@ def test_pixel_shuffle_matches_torch_channel_order(rng):
     )
     ref = ref.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_invconv_exact_inverse(rng):
+    import jax
+
+    from vstnet_tpu.ops.invconv import (
+        init_invconv,
+        invconv_forward,
+        invconv_inverse,
+    )
+
+    p = init_invconv(jax.random.PRNGKey(0), 16)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 16)), jnp.float32)
+    y = invconv_forward(p, x)
+    np.testing.assert_allclose(
+        np.asarray(invconv_inverse(p, y)), np.asarray(x),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_invconv_parity_reference(rng):
+    """Forward/inverse parity vs the reference InvConv2d
+    (/root/reference/models/RevResNet.py:46-65) with shared weights."""
+    import sys
+    import types
+
+    import torch
+
+    from vstnet_tpu.ops.invconv import invconv_forward, invconv_inverse
+
+    todos = types.ModuleType("todos")
+    todos.debug = types.SimpleNamespace(output_var=lambda *a, **k: None)
+    sys.modules.setdefault("todos", todos)
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.RevResNet import InvConv2d  # type: ignore
+    finally:
+        sys.path.remove("/root/reference")
+
+    c = 12
+    ref = InvConv2d(c)
+    p = {
+        "w": jnp.asarray(ref.weight.detach().numpy()[:, :, 0, 0]),
+        "b": jnp.asarray(ref.bias.detach().numpy()[0, :, 0, 0]),
+    }
+    x = rng.standard_normal((2, 5, 7, c)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        yt = ref(xt).numpy().transpose(0, 2, 3, 1)
+        it = ref.inverse(torch.from_numpy(yt.transpose(0, 3, 1, 2)))
+        it = it.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(invconv_forward(p, jnp.asarray(x))), yt,
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(invconv_inverse(p, jnp.asarray(yt))), it,
+        rtol=1e-3, atol=1e-4)

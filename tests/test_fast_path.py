@@ -184,3 +184,57 @@ def test_pick_tile():
     th2 = rf.pick_tile(256, c=64, w=256)
     assert 256 % th2 == 0 and th2 >= 8
     assert 27 % rf.pick_tile(27, c=16, w=108) == 0
+
+
+@pytest.mark.parametrize("use_masks", [False, True])
+def test_photo_forward_fast_agreement(rng, use_masks):
+    """photo_forward_fast (bf16 fused path) vs photo_forward (f32): same
+    semantics, PSNR >= 40 dB (the BASELINE.md fidelity bar)."""
+    from vstnet_tpu.models.pipeline import photo_forward, photo_forward_fast
+
+    params = init_revresnet(jax.random.PRNGKey(4), SMALL)
+    fast = rf.pack_revresnet(params, SMALL, dtype=jnp.bfloat16)
+    c = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    cm = jnp.asarray(rng.integers(0, 3, size=(1, 32, 32)), jnp.int32)
+    sm = jnp.asarray(rng.integers(0, 3, size=(1, 32, 32)), jnp.int32)
+
+    ref = np.asarray(photo_forward(params, c, s, cm, sm, SMALL,
+                                   max_labels=4, use_masks=use_masks))
+    got = np.asarray(photo_forward_fast(fast, c, s, cm, sm, SMALL,
+                                        max_labels=4, use_masks=use_masks))
+    assert got.shape == ref.shape
+    mse = float(((got - ref) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    assert psnr >= 40.0, f"fast photo path PSNR {psnr:.1f} dB < 40"
+
+
+def test_stylize_fast_agreement(rng):
+    """Research-tier fast stylize (global + masked) vs the f32 functions."""
+    from vstnet_tpu.models.pipeline import (
+        stylize,
+        stylize_fast,
+        stylize_masked,
+        stylize_masked_fast,
+    )
+
+    params = init_revresnet(jax.random.PRNGKey(5), SMALL)
+    fast = rf.pack_revresnet(params, SMALL, dtype=jnp.bfloat16)
+    c = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+
+    def psnr(a, b):
+        mse = float(((a - b) ** 2).mean())
+        return 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+
+    ref = np.asarray(stylize(params, c, s, SMALL))
+    got = np.asarray(stylize_fast(fast, c, s, SMALL))
+    assert psnr(got, ref) >= 40.0
+
+    cm = jnp.asarray(rng.integers(0, 3, size=(1, 32, 32)), jnp.int32)
+    sm = jnp.asarray(rng.integers(0, 3, size=(1, 32, 32)), jnp.int32)
+    ref = np.asarray(stylize_masked(params, c, s, cm, sm, SMALL,
+                                    max_labels=4))
+    got = np.asarray(stylize_masked_fast(fast, c, s, cm, sm, SMALL,
+                                         max_labels=4))
+    assert psnr(got, ref) >= 40.0

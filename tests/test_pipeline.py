@@ -115,3 +115,24 @@ def test_cli_checkpoint_roundtrip(tmp_path):
         "--max_size", "32",
     ])
     assert os.path.exists(out)
+
+
+def test_package_factory_surface(rng):
+    """The reference package's five factories (image_style/__init__.py:
+    24-127) all exist and the enc/dec pair round-trips: decoder(encoder(x))
+    recovers x (clamped), on random weights."""
+    import vstnet_tpu as v
+
+    enc, dev = v.get_vstnet_encoder_model(mode="photorealistic")
+    dec, _ = v.get_vstnet_decoder_model(mode="photorealistic")
+    seg_fn, _ = v.get_segment_model()
+    assert dev is not None
+
+    x = jnp.asarray(rng.uniform(0.1, 0.9, size=(1, 32, 32, 3)), jnp.float32)
+    z = enc(x)
+    y = dec(z)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                               rtol=1e-3, atol=1e-3)
+    m = seg_fn(x)
+    assert m.shape == (1, 32, 32) and m.dtype == jnp.int32

@@ -134,3 +134,35 @@ def test_exported_segmenter_parity(rng):
     ref = np.asarray(segment_mask(seg_params, x))
     # integer class ids — exact equality expected from the same backend
     np.testing.assert_array_equal(got, ref)
+
+
+def test_profiling_trace_and_memory(tmp_path):
+    """runtime/profiling: a jitted call under trace() writes a capture,
+    and the static memory analysis reports the compiled buffer sizes
+    (the analogue of the GGML engine's compute-buffer dump,
+    ggml_engine.h:553-556)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.runtime.profiling import (
+        compiled_memory_analysis,
+        format_memory_report,
+        trace,
+    )
+
+    fn = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64), jnp.float32)
+
+    logdir = tmp_path / "trace"
+    with trace(str(logdir)):
+        fn(x).block_until_ready()
+    captured = list(logdir.rglob("*.pb")) + list(logdir.rglob("*.json.gz")) \
+        + list(logdir.rglob("*.xplane.pb"))
+    assert captured, f"no trace artifacts under {logdir}"
+
+    mem = compiled_memory_analysis(fn, x)
+    if mem is not None:  # backend-dependent; must not crash either way
+        assert mem.get("arguments", 1) >= 0
+
+    report = format_memory_report(fn=fn, args=(x,))
+    assert isinstance(report, str) and report

@@ -22,6 +22,7 @@ from vstnet_tpu.models.segformer import (
     decode_head,
     init_segformer,
     segment_logits,
+    segment_mask,
     segformer_from_torch,
 )
 
@@ -108,6 +109,28 @@ def test_segment_mask_shapes():
     assert mask.shape == (1, 50, 62)
     m = np.asarray(mask)
     assert m.min() >= 0 and m.max() < 150
+
+
+def test_b5_profile_and_depth_inference():
+    """MiT-B5 (video research segmenter, video_transfer.py:119-127): the
+    deeper profile runs through the same scanned stages, and converter
+    depth inference distinguishes B4/B5 checkpoints from their keys."""
+    from vstnet_tpu.models.segformer import DEPTHS_B5, infer_depths
+
+    params = init_segformer(jax.random.PRNGKey(0), depths=DEPTHS_B5)
+    for s, d in enumerate(DEPTHS_B5):
+        assert params["stages"][s]["blocks"]["norm1"]["g"].shape[0] == d
+    mask = segment_mask(params, jnp.zeros((1, 32, 32, 3)))
+    assert mask.shape == (1, 32, 32)
+
+    def fake_sd(depths):
+        return {
+            f"backbone.block{s + 1}.{i}.norm1.weight": None
+            for s in range(4) for i in range(depths[s])
+        }
+
+    assert infer_depths(fake_sd((3, 8, 27, 3))) == (3, 8, 27, 3)
+    assert infer_depths(fake_sd(DEPTHS_B5)) == DEPTHS_B5
 
 
 # ---------------------------------------------------------------------------

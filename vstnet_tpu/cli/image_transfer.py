@@ -48,6 +48,9 @@ def build_parser():
                         "tiling (models/ultra.py)")
     p.add_argument("--tile", type=int, default=1024)
     p.add_argument("--overlap", type=int, default=128)
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="fused bf16 Pallas path (≥40 dB agreement with "
+                        "the f32 default; ~4x faster on TPU)")
     return p
 
 
@@ -130,14 +133,15 @@ def main(argv=None):
         print(f"Save at {path}")
         return path
     if cmask is not None:
-        out = model.stylize(c, s, jnp.asarray(cmask), jnp.asarray(smask))
+        out = model.stylize(c, s, jnp.asarray(cmask), jnp.asarray(smask),
+                            fast=args.fast)
     elif args.alpha_c is not None:
         if not 0.0 <= args.alpha_c <= 1.0:
             raise SystemExit(
                 f"error: --alpha_c must be in [0, 1], got {args.alpha_c}")
         out = model.stylize(c, s, alpha_c=args.alpha_c)
     else:
-        out = model.stylize(c, s)
+        out = model.stylize(c, s, fast=args.fast)
 
     from vstnet_tpu.models.cwct import host_check_finite
 

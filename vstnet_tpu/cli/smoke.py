@@ -119,6 +119,8 @@ def photo_pipeline_bench(size: int = 1024, iters: int = 5):
     print(f"  segformer-b4 @{size}²          : {dt_seg * 1000:7.1f} ms "
           "(reference ~120 ms)")
 
+    from vstnet_tpu.models.pipeline import photo_forward_fast
+
     @jax.jit
     def full(params, c, s):
         cm = segment_mask(seg.params, c)
@@ -126,10 +128,21 @@ def photo_pipeline_bench(size: int = 1024, iters: int = 5):
         return photo_forward(params, c, s, cm, sm, model.cfg,
                              max_labels=64, use_masks=True)
 
+    @jax.jit
+    def full_fast(fast, c, s):
+        cm = segment_mask(seg.params, c)
+        sm = segment_mask(seg.params, s)
+        return photo_forward_fast(fast, c, s, cm, sm, model.cfg,
+                                  max_labels=64, use_masks=True)
+
     dt = timeit_real(full, model.params, c, s, iters=iters, chain=False)
-    print(f"  full photo pipeline @{size}²   : {dt * 1000:7.1f} ms "
+    print(f"  full photo pipeline @{size}² f32: {dt * 1000:7.1f} ms "
           f"(reference ~800 ms => {800 / (dt * 1000):.1f}x)")
-    return dt_seg, dt
+    dt_fast = timeit_real(full_fast, model.fast_params, c, s, iters=iters,
+                          chain=False)
+    print(f"  full photo pipeline @{size}² fast: {dt_fast * 1000:6.1f} ms "
+          f"(reference ~800 ms => {800 / (dt_fast * 1000):.1f}x)")
+    return dt_seg, dt, dt_fast
 
 
 def train_profile(size: int = 256, batch: int = 2, iters: int = 5):
@@ -283,8 +296,32 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--n_shapes", type=int, default=10)
+    p.add_argument("--profile", metavar="LOGDIR", default=None,
+                   help="capture a jax.profiler trace of the run under "
+                        "LOGDIR (TensorBoard/xprof format) and print "
+                        "device memory stats at exit")
     args = p.parse_args(argv)
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from vstnet_tpu.runtime.profiling import trace
+
+        profile_ctx = trace(args.profile)
+
+    with profile_ctx:
+        _run_tests(args)
+
+    if args.profile:
+        from vstnet_tpu.runtime.profiling import format_memory_report
+
+        print(f"profile trace written to {args.profile}")
+        print("device memory:")
+        print(format_memory_report())
+
+
+def _run_tests(args):
     if args.test in ("parity", "all"):
         parity_gate(min(args.size, 128))
     if args.test in ("shapes", "all"):

@@ -77,6 +77,39 @@ def stylize_interp(params, content, styles, alpha_s, cfg: RevResNetConfig,
     return decode(params, z_cs, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def stylize_fast(fast_params, content, style, cfg: RevResNetConfig):
+    """Global stylization on the fused bf16 Pallas path with the packed
+    latent (the transfer commutes with the final pixel shuffles, so both
+    are skipped). ≥40 dB agreement with `stylize` (tests)."""
+    from vstnet_tpu.models import revresnet_fast as rf
+
+    c_lat = cfg.latent_channels
+    zp_c = rf.encode_fast(fast_params, content.astype(jnp.bfloat16), cfg,
+                          packed_latent=True)
+    zp_s = rf.encode_fast(fast_params, style.astype(jnp.bfloat16), cfg,
+                          packed_latent=True)
+    ls, mu_s = cwct.style_factors_packed(zp_s, c_lat)
+    z_cs = cwct.transfer_with_factors_packed(zp_c, ls, mu_s, c_lat)
+    out = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
+    return out.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_labels"))
+def stylize_masked_fast(fast_params, content, style, cmask, smask,
+                        cfg: RevResNetConfig, max_labels: int = 32):
+    """Regional stylization on the fused bf16 path (stats/Cholesky f32)."""
+    from vstnet_tpu.models import revresnet_fast as rf
+
+    z_c = rf.encode_fast(fast_params, content.astype(jnp.bfloat16), cfg)
+    z_s = rf.encode_fast(fast_params, style.astype(jnp.bfloat16), cfg)
+    cm = _mask_to_latent(cmask, z_c.shape)
+    sm = _mask_to_latent(smask, z_s.shape)
+    z_cs = cwct.transfer_masked(z_c, z_s, cm, sm, max_labels=max_labels)
+    out = rf.decode_fast(fast_params, z_cs.astype(jnp.bfloat16), cfg)
+    return out.astype(jnp.float32)
+
+
 def _mask_to_latent(mask, z_shape):
     """Nearest-resample an int mask (B,H,W) to the latent grid (B,h,w)."""
     b, h, w, _ = z_shape
@@ -128,6 +161,56 @@ def photo_forward(
     return lab2rgb(blend_lab)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_labels", "use_masks"))
+def photo_forward_fast(
+    fast_params,
+    c_image,
+    s_image,
+    cmask,
+    smask,
+    cfg: RevResNetConfig,
+    max_labels: int = 32,
+    use_masks: bool = True,
+):
+    """photo_forward on the fused bf16 fast path (revresnet_fast): same
+    VSTNetModel.forward semantics, with encode/decode running the flat
+    Pallas kernels in bfloat16 and the cWCT statistics/Cholesky in f32.
+
+    The global (maskless) route additionally uses the packed latent —
+    the transfer commutes with the final pixel shuffles, so both are
+    skipped. Agreement with the f32 photo_forward is PSNR-gated in
+    tests/test_fast_path.py (the 40 dB bar of BASELINE.md; measured
+    55.9 dB fused-vs-XLA at 512px on trained-scale weights)."""
+    from vstnet_tpu.models import revresnet_fast as rf
+
+    content_lab = rgb2lab(c_image)
+    cb = c_image.astype(jnp.bfloat16)
+    sb = s_image.astype(jnp.bfloat16)
+
+    if use_masks:
+        z_s = rf.encode_fast(fast_params, sb, cfg)
+        z_c = rf.encode_fast(fast_params, cb, cfg)
+        cm = _mask_to_latent(cmask, z_c.shape)
+        sm = _mask_to_latent(smask, z_s.shape)
+        z_cs = cwct.transfer_masked(z_c, z_s, cm, sm, max_labels=max_labels)
+        output = rf.decode_fast(
+            fast_params, z_cs.astype(jnp.bfloat16), cfg)
+    else:
+        c_lat = cfg.latent_channels
+        zp_s = rf.encode_fast(fast_params, sb, cfg, packed_latent=True)
+        zp_c = rf.encode_fast(fast_params, cb, cfg, packed_latent=True)
+        ls, mu_s = cwct.style_factors_packed(zp_s, c_lat)
+        z_cs = cwct.transfer_with_factors_packed(zp_c, ls, mu_s, c_lat)
+        output = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
+
+    output = jnp.clip(output.astype(jnp.float32), 0.0, 1.0)
+    output_lab = rgb2lab(output)
+    blend_lab = jnp.concatenate(
+        [content_lab[..., 0:1], output_lab[..., 1:3]], axis=-1
+    )
+    return lab2rgb(blend_lab)
+
+
 # ---------------------------------------------------------------------------
 # Model objects (weights + config + convenience methods)
 # ---------------------------------------------------------------------------
@@ -142,6 +225,18 @@ class StyleModel:
     segmenter: Optional[object] = None  # models.segformer.Segmenter
 
     MAX_TIMES = 4
+
+    @property
+    def fast_params(self):
+        """bf16 flat-packed weights for the fused Pallas path (cached)."""
+        if getattr(self, "_fast_params", None) is None:
+            from vstnet_tpu.models import revresnet_fast as rf
+
+            object.__setattr__(
+                self, "_fast_params",
+                rf.pack_revresnet(self.params, self.cfg,
+                                  dtype=jnp.bfloat16))
+        return self._fast_params
 
     @classmethod
     def from_checkpoint(cls, path: str, mode: str = "photorealistic",
@@ -162,25 +257,38 @@ class StyleModel:
 
     # -- convenience wrappers ------------------------------------------------
 
-    def stylize(self, content, style, cmask=None, smask=None, alpha_c=None):
+    def stylize(self, content, style, cmask=None, smask=None, alpha_c=None,
+                fast: bool = False):
         """Stylize padded /4 NHWC float images. Returns raw decoder output
-        (research semantics — caller clamps/saves)."""
+        (research semantics — caller clamps/saves). fast=True uses the
+        fused bf16 Pallas path (interpolation falls back to f32 — it is
+        not a hot path)."""
         if alpha_c is not None and cmask is None:
             return stylize_interp(
                 self.params, content, style[None], jnp.asarray([1.0]),
                 self.cfg, alpha_c=float(alpha_c),
             )
         if cmask is not None and smask is not None:
+            if fast:
+                return stylize_masked_fast(
+                    self.fast_params, content, style, cmask, smask,
+                    self.cfg, max_labels=cwct.label_capacity(cmask),
+                )
             return stylize_masked(
                 self.params, content, style, cmask, smask, self.cfg,
                 max_labels=cwct.label_capacity(cmask),
             )
+        if fast:
+            return stylize_fast(self.fast_params, content, style, self.cfg)
         return stylize(self.params, content, style, self.cfg)
 
-    def photo_pipeline(self, c_image, s_image, cmask=None, smask=None):
+    def photo_pipeline(self, c_image, s_image, cmask=None, smask=None,
+                       fast: bool = False):
         """Full package pipeline on unpadded inputs: pad, stylize, resize
         back, Lab-blend. Masks optional (None -> global transfer or
-        auto-seg when a segmenter is attached)."""
+        auto-seg when a segmenter is attached). fast=True routes the
+        encode/decode through the fused bf16 Pallas path (≥40 dB
+        agreement with the f32 path)."""
         b, h, w, _ = c_image.shape
         c_pad = pad_to_multiple(c_image, self.MAX_TIMES)
         s_pad = pad_to_multiple(s_image, self.MAX_TIMES)
@@ -194,8 +302,10 @@ class StyleModel:
             cmask = jnp.zeros(c_pad.shape[:3], jnp.int32)
             smask = jnp.zeros(s_pad.shape[:3], jnp.int32)
 
-        out = photo_forward(
-            self.params, c_pad, s_pad, cmask, smask, self.cfg,
+        fwd = photo_forward_fast if fast else photo_forward
+        weights = self.fast_params if fast else self.params
+        out = fwd(
+            weights, c_pad, s_pad, cmask, smask, self.cfg,
             max_labels=cwct.label_capacity(cmask) if use_masks else 32,
             use_masks=use_masks,
         )

@@ -1,11 +1,15 @@
-"""SegFormer-B4 semantic segmentation (MiT backbone + all-MLP head), JAX/NHWC.
+"""SegFormer-B4/B5 semantic segmentation (MiT backbone + all-MLP head),
+JAX/NHWC.
 
 Capability parity with the reference package segmenter
 (/root/reference/project/image_style/segment.py:26-560): 4-stage
-Mix-Transformer (depths [3,8,27,3], dims [64,128,320,512], heads [1,2,5,8],
-spatial-reduction ratios [8,4,2,1]), all-MLP decode head with BN fuse,
-150 ADE20K classes, replicate pad + ImageNet normalize + bilinear upsample +
-argmax mask, and small-hole removal.
+Mix-Transformer (B4 depths [3,8,27,3], dims [64,128,320,512], heads
+[1,2,5,8], spatial-reduction ratios [8,4,2,1]), all-MLP decode head with BN
+fuse, 150 ADE20K classes, replicate pad + ImageNet normalize + bilinear
+upsample + argmax mask, and small-hole removal. The research video path's
+MiT-B5 profile (video_transfer.py:119-127) loads through the same code —
+stage depth is a leading scan axis, not an architecture change; converter
+depths are inferred from checkpoint keys.
 
 TPU-first design:
   * NHWC / channels-last; token tensors are (B, N, C).
@@ -33,7 +37,11 @@ from vstnet_tpu.ops.resize import pad_to_multiple, resize_bilinear
 
 EMBED_DIMS = (64, 128, 320, 512)
 NUM_HEADS = (1, 2, 5, 8)
-DEPTHS = (3, 8, 27, 3)
+DEPTHS = (3, 8, 27, 3)  # MiT-B4 (the package segmenter, segment.py:327-337)
+# MiT-B5 — the research video path's segmenter variant
+# (/root/reference/video_transfer.py:119-127 loads
+# segformer.b5.640x640.ade.160k); same dims/heads/sr, deeper stages 2-3.
+DEPTHS_B5 = (3, 6, 40, 3)
 SR_RATIOS = (8, 4, 2, 1)
 MLP_RATIO = 4
 EMBEDDING_DIM = 768
@@ -252,7 +260,7 @@ def _init_block(key, dim, num_heads, sr_ratio):
             "mlp": mlp}
 
 
-def init_segformer(key) -> Dict:
+def init_segformer(key, depths=DEPTHS) -> Dict:
     keys = jax.random.split(key, 16)
     patch_embed = []
     stages = []
@@ -263,7 +271,7 @@ def init_segformer(key) -> Dict:
             "proj": _init_conv_p(keys[s], ksz, ksz, cin, EMBED_DIMS[s]),
             "norm": _init_ln(EMBED_DIMS[s]),
         })
-        bkeys = jax.random.split(keys[4 + s], DEPTHS[s])
+        bkeys = jax.random.split(keys[4 + s], depths[s])
         blocks = [
             _init_block(bk, EMBED_DIMS[s], NUM_HEADS[s], SR_RATIOS[s])
             for bk in bkeys
@@ -313,9 +321,30 @@ def _t_ln(sd, prefix):
             "b": jnp.asarray(sd[f"{prefix}.bias"])}
 
 
-def segformer_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
+def infer_depths(sd) -> tuple:
+    """Per-stage block counts from the checkpoint's backbone.blockS.i.*
+    keys — distinguishes MiT-B4 (3,8,27,3) from B5 (3,6,40,3) without a
+    flag, so both the package B4 and research-video B5 checkpoints load
+    through the same converter."""
+    depths = []
+    for s in range(4):
+        n = 0
+        while f"backbone.block{s + 1}.{n}.norm1.weight" in sd:
+            n += 1
+        depths.append(n)
+    return tuple(depths)
+
+
+def segformer_from_torch(sd: Dict[str, np.ndarray],
+                         depths=None) -> Dict:
     """Convert the reference SegmentModel state_dict (backbone.* /
-    decode_head.*) to the vstnet_tpu pytree."""
+    decode_head.*) to the vstnet_tpu pytree. Handles any MiT depth
+    profile (B4/B5); depths are inferred from the keys when not given."""
+    if depths is None:
+        depths = infer_depths(sd)
+        if not all(depths):
+            raise ValueError(
+                f"cannot infer MiT stage depths from checkpoint: {depths}")
     patch_embed = []
     stages = []
     for s in range(4):
@@ -325,7 +354,7 @@ def segformer_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
             "norm": _t_ln(sd, f"{pe}.norm"),
         })
         blocks = []
-        for i in range(DEPTHS[s]):
+        for i in range(depths[s]):
             bp = f"backbone.block{s + 1}.{i}"
             attn = {
                 "q": _t_lin(sd, f"{bp}.attn.q"),
@@ -388,7 +417,10 @@ class Segmenter:
 
     @classmethod
     def load(cls, checkpoint: Optional[str] = None, min_ratio: float = 0.01,
-             label_mapping: Optional[str] = None, seed: int = 0):
+             label_mapping: Optional[str] = None, seed: int = 0,
+             depths=DEPTHS):
+        """Checkpoint depths (B4 vs B5) are auto-detected; `depths` only
+        sets the profile of a random-init (no-checkpoint) segmenter."""
         from vstnet_tpu.models.remapping import load_label_mapping
 
         if checkpoint:
@@ -396,7 +428,7 @@ class Segmenter:
 
             params = segformer_from_torch(load_torch_state_dict(checkpoint))
         else:
-            params = init_segformer(jax.random.PRNGKey(seed))
+            params = init_segformer(jax.random.PRNGKey(seed), depths=depths)
         return cls(params=params, min_ratio=min_ratio,
                    label_mapping=load_label_mapping(label_mapping))
 
