@@ -131,44 +131,6 @@ def test_fused_coupling_flat_parity(rng, c, mid, h, w):
     np.testing.assert_allclose(got_inv, ref_inv, atol=2e-5)
 
 
-@pytest.mark.parametrize("k,th", [(2, 16), (3, 16), (4, 32)])
-def test_fused_coupling_chain_parity(rng, k, th):
-    """k-block chain kernel == k sequential reference blocks (forward),
-    and the inverse chain recovers the inputs exactly."""
-    from vstnet_tpu.ops import coupling_flat as cf
-    from vstnet_tpu.ops.pad_conv import residual_branch
-
-    c, mid, h, w = 16, 4, 32, (128 if k == 2 else 48)
-    branches = [_rand_branch(rng, c, mid, c) for _ in range(k)]
-    chain = cf.pack_chain_weights_flat(branches)
-
-    x1 = jnp.asarray(rng.standard_normal((2, h, w, c)) * 0.3, jnp.float32)
-    x2 = jnp.asarray(rng.standard_normal((2, h, w, c)) * 0.3, jnp.float32)
-    a, b = x1, x2
-    for br in branches:
-        a, b = b, residual_branch(b, br) + a
-
-    r = 3 * k
-    x1f = cf.nhwc_to_flat(x1, halo_rows=r)
-    x2f = cf.nhwc_to_flat(x2, halo_rows=r)
-    y1f, y2f = cf.fused_coupling_chain_flat(
-        x1f, x2f, chain, h, w, th=th, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(cf.flat_to_nhwc(y1f, h, w, r)), np.asarray(a), atol=3e-5)
-    np.testing.assert_allclose(
-        np.asarray(cf.flat_to_nhwc(y2f, h, w, r)), np.asarray(b), atol=3e-5)
-
-    # inverse chain: recover (x1, x2) from (y1, y2)
-    i1f, i2f = cf.fused_coupling_chain_flat(
-        cf.nhwc_to_flat(cf.flat_to_nhwc(y1f, h, w, r), halo_rows=r),
-        cf.nhwc_to_flat(cf.flat_to_nhwc(y2f, h, w, r), halo_rows=r),
-        chain, h, w, th=th, inverse=True, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(cf.flat_to_nhwc(i1f, h, w, r)), np.asarray(x1), atol=3e-5)
-    np.testing.assert_allclose(
-        np.asarray(cf.flat_to_nhwc(i2f, h, w, r)), np.asarray(x2), atol=3e-5)
-
-
 def test_flat_layout_roundtrip(rng):
     from vstnet_tpu.ops import coupling_flat as cf
 

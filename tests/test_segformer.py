@@ -202,3 +202,19 @@ def test_cross_remapping_parity(ref_remap, rng):
         )
     )
     np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_half_precision_logits_agree():
+    """bf16 segmenter (reference deploys in half, segment.py:479): logits
+    stay highly correlated with the f32 pass; shapes/dtypes intact."""
+    params = init_segformer(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 64, 64, 3)), jnp.float32)
+    lo32 = np.asarray(segment_logits(params, x)).ravel()
+    lo16 = np.asarray(segment_logits(params, x, half=True)).ravel()
+    assert lo16.dtype == np.float32
+    cos = float(np.dot(lo16, lo32)
+                / (np.linalg.norm(lo16) * np.linalg.norm(lo32) + 1e-12))
+    assert cos > 0.99, f"bf16/f32 logit cosine {cos:.4f}"
+    m = segment_mask(params, x, half=True)
+    assert m.shape == (1, 64, 64) and m.dtype == jnp.int32

@@ -90,7 +90,8 @@ def main(argv=None):
         from vstnet_tpu.models.segformer import Segmenter
 
         seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
-                             label_mapping=args.label_mapping)
+                             label_mapping=args.label_mapping,
+                             half=args.fast)
         cmask = np.asarray(seg.segment(jnp.asarray(content)))
         smask = np.asarray(seg.segment(jnp.asarray(style)))
         cmask, smask = seg.remap(cmask, smask)

@@ -118,6 +118,9 @@ def photo_pipeline_bench(size: int = 1024, iters: int = 5):
     dt_seg = timeit_real(seg_fn, c, iters=iters, chain=False)
     print(f"  segformer-b4 @{size}²          : {dt_seg * 1000:7.1f} ms "
           "(reference ~120 ms)")
+    seg_fn16 = jax.jit(lambda x: segment_mask(seg.params, x, half=True))
+    dt_seg16 = timeit_real(seg_fn16, c, iters=iters, chain=False)
+    print(f"  segformer-b4 @{size}² bf16     : {dt_seg16 * 1000:7.1f} ms")
 
     from vstnet_tpu.models.pipeline import photo_forward_fast
 
@@ -130,8 +133,8 @@ def photo_pipeline_bench(size: int = 1024, iters: int = 5):
 
     @jax.jit
     def full_fast(fast, c, s):
-        cm = segment_mask(seg.params, c)
-        sm = segment_mask(seg.params, s)
+        cm = segment_mask(seg.params, c, half=True)
+        sm = segment_mask(seg.params, s, half=True)
         return photo_forward_fast(fast, c, s, cm, sm, model.cfg,
                                   max_labels=64, use_masks=True)
 

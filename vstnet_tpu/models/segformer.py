@@ -62,13 +62,19 @@ IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
 # ---------------------------------------------------------------------------
 
 def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * lax.rsqrt(var + eps) * p["g"] + p["b"]
+    """LN with f32 internals regardless of activation dtype (bf16 mean/var
+    would lose the stability the reference's f32/half-autocast keeps)."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32)
+            + p["b"].astype(jnp.float32)).astype(dt)
 
 
 def _linear(x, p):
-    return x @ p["w"] + p["b"]
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
 def _conv(x, p, stride=1, padding="SAME", groups=1):
@@ -191,25 +197,36 @@ def decode_head(params, feats):
     x = jnp.concatenate(ups, axis=-1)
 
     x = _conv(x, {"w": hp["fuse"]["w"]}, padding="VALID")
+    # BN folded to per-channel scale/shift in f32, applied in x's dtype
     bn = hp["fuse"]["bn"]
-    x = (x - bn["mean"]) * lax.rsqrt(bn["var"] + 1e-5) * bn["g"] + bn["b"]
+    scale = (bn["g"].astype(jnp.float32)
+             * lax.rsqrt(bn["var"].astype(jnp.float32) + 1e-5))
+    shift = bn["b"].astype(jnp.float32) - bn["mean"].astype(jnp.float32) * scale
+    x = x * scale.astype(x.dtype) + shift.astype(x.dtype)
     x = jax.nn.relu(x)
     return _conv(x, hp["pred"], padding="VALID")  # (B, h1, w1, 150)
 
 
-@jax.jit
-def segment_logits(params, image):
-    """image: NHWC float [0,1], H/W multiples of 4 -> (B, H, W, 150)."""
-    x = (image - IMAGENET_MEAN) / IMAGENET_STD
+@partial(jax.jit, static_argnames=("half",))
+def segment_logits(params, image, half: bool = False):
+    """image: NHWC float [0,1], H/W multiples of 4 -> (B, H, W, 150) f32.
+
+    half=True runs the backbone/head in bfloat16 (the reference deploys
+    the segmenter in half precision, segment.py:479); layernorm internals
+    and the final logits stay f32."""
+    x = (image.astype(jnp.float32) - IMAGENET_MEAN) / IMAGENET_STD
+    if half:
+        x = x.astype(jnp.bfloat16)
     feats = backbone_features(params, x)
-    logits = decode_head(params, feats)
+    logits = decode_head(params, feats).astype(jnp.float32)
     return resize_bilinear(logits, image.shape[1], image.shape[2])
 
 
-@jax.jit
-def segment_mask(params, image):
+@partial(jax.jit, static_argnames=("half",))
+def segment_mask(params, image, half: bool = False):
     """argmax class mask (B, H, W) int32 (softmax elided — same argmax)."""
-    return jnp.argmax(segment_logits(params, image), axis=-1).astype(jnp.int32)
+    return jnp.argmax(
+        segment_logits(params, image, half=half), axis=-1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -413,14 +430,17 @@ class Segmenter:
     params: Dict
     min_ratio: float = 0.01
     label_mapping: Optional[jnp.ndarray] = None
+    half: bool = False
     MAX_TIMES = 4
 
     @classmethod
     def load(cls, checkpoint: Optional[str] = None, min_ratio: float = 0.01,
              label_mapping: Optional[str] = None, seed: int = 0,
-             depths=DEPTHS):
+             depths=DEPTHS, half: bool = False):
         """Checkpoint depths (B4 vs B5) are auto-detected; `depths` only
-        sets the profile of a random-init (no-checkpoint) segmenter."""
+        sets the profile of a random-init (no-checkpoint) segmenter.
+        half=True runs inference in bfloat16 (reference deploys in half,
+        segment.py:479)."""
         from vstnet_tpu.models.remapping import load_label_mapping
 
         if checkpoint:
@@ -430,13 +450,14 @@ class Segmenter:
         else:
             params = init_segformer(jax.random.PRNGKey(seed), depths=depths)
         return cls(params=params, min_ratio=min_ratio,
-                   label_mapping=load_label_mapping(label_mapping))
+                   label_mapping=load_label_mapping(label_mapping),
+                   half=half)
 
     def segment(self, image, remove_holes: bool = True):
         """image NHWC float [0,1] -> (B, H, W) int32 mask."""
         h, w = image.shape[1], image.shape[2]
         x = pad_to_multiple(image, self.MAX_TIMES)
-        mask = segment_mask(self.params, x)[:, :h, :w]
+        mask = segment_mask(self.params, x, half=self.half)[:, :h, :w]
         if remove_holes and self.label_mapping is not None:
             from vstnet_tpu.models.remapping import remove_small_holes
 

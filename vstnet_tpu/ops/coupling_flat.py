@@ -110,8 +110,13 @@ def flat_len(h: int, w: int, halo_rows: int = HALO) -> int:
 
 def nhwc_to_flat(x, halo_rows: int = HALO):
     """(B, H, W, C) -> (B, C, (H+2R)*S). Boundary slots are zero (their
-    contents are never read — kernels reconstruct reflections). R = 3 for
-    single-block kernels, 3k for a k-block chain."""
+    contents are never read — kernels reconstruct reflections).
+
+    A k-block fused chain variant (R = 3k halo) was built and measured in
+    round 2: it LOSES to the per-block kernel (0.82-0.94x at stage1
+    shapes; Mosaic VMEM overflow at th>=64) because XLA already overlaps
+    the per-block stream traffic — see PERF.md. R != 3 remains supported
+    for the tiled ultra-res path."""
     b, h, w, c = x.shape
     s = row_stride(w)
     co = col_offset(w)
@@ -289,111 +294,3 @@ def fused_coupling_flat(x1f, x2f, packed, h: int, w: int, th: int = 64,
         interpret=interpret,
     )(x2f, x1f, packed["w1"], packed["b1"], packed["w2"], packed["b2"],
       packed["w3"], packed["b3"])
-
-
-# ---------------------------------------------------------------------------
-# Chain kernel: k consecutive coupling blocks fused in one pallas_call.
-# Streams stay in VMEM across blocks (the single-block kernel pays
-# ~65 us/frame/block of HBM stream traffic at 512^2 — the chain amortizes
-# it over k). Valid rows shrink by 3 per block, so the flat buffers carry
-# R = 3k halo rows and each grid tile reads TH + 2R rows.
-# ---------------------------------------------------------------------------
-
-def pack_chain_weights_flat(branches, dtype=None):
-    """List of k branch pytrees -> stacked packed weights (k, ...)."""
-    ps = [pack_branch_weights_flat(b, dtype) for b in branches]
-    return {key: jnp.stack([p[key] for p in ps]) for key in ps[0]}
-
-
-def _chain_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                       w3_ref, b3_ref, out1_ref, out2_ref, *, k, th, s,
-                       w_img, co, c, n_tiles, inverse):
-    i = pl.program_id(1)
-    is_top = i == 0
-    is_bottom = i == n_tiles - 1
-    r = 3 * k
-    t = th + 2 * r
-    dt = x2_ref.dtype
-    m1 = b1_ref.shape[1]
-    m2 = b2_ref.shape[1]
-
-    def pos(n):
-        return lax.broadcasted_iota(jnp.int32, (1, n), 1) % s
-
-    def mid(a):
-        return lax.slice(a, (0, HALO * s), (a.shape[0], a.shape[1] - HALO * s))
-
-    s1 = x1_ref[0]
-    s2 = x2_ref[0]
-    for j in range(k):
-        jj = (k - 1 - j) if inverse else j
-        off = HALO * j          # absolute frame row of the current tensors
-        ct = r - off            # local row of image row 0 (top tiles)
-        cb = (t - 1 - r) - off  # local row of image row H-1 (bottom tiles)
-        # forward step: (a, b) -> (b, F(b) + a); inverse: (p, q) -> (q - F(p), p)
-        src = s1 if inverse else s2
-        xx = _reflect_rows(src, s, (1, 2, 3), ct, cb, is_top, is_bottom)
-        n0 = xx.shape[1]
-        h1 = _conv_flat(xx, w1_ref[jj], b1_ref[jj], m1, s, pos(n0), w_img,
-                        co, relu=True, out_dtype=dt)
-        h1 = _reflect_rows(h1, s, (1, 2), ct - 1, cb - 1, is_top, is_bottom)
-        h2 = _conv_flat(h1, w2_ref[jj], b2_ref[jj], m2, s, pos(n0 - 2 * s),
-                        w_img, co, relu=True, out_dtype=dt)
-        h2 = _reflect_rows(h2, s, (1,), ct - 2, cb - 2, is_top, is_bottom)
-        fx = _conv_flat(h2, w3_ref[jj], b3_ref[jj], c, s, pos(n0 - 4 * s),
-                        w_img, co, relu=False, out_dtype=jnp.float32)
-        if inverse:
-            s1, s2 = (
-                (mid(s2).astype(jnp.float32) - fx).astype(dt), mid(s1))
-        else:
-            s1, s2 = (
-                mid(s2), (fx + mid(s1).astype(jnp.float32)).astype(dt))
-    out1_ref[0] = s1.astype(out1_ref.dtype)
-    out2_ref[0] = s2.astype(out2_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=("h", "w", "th", "inverse", "interpret"))
-def fused_coupling_chain_flat(x1f, x2f, chain, h: int, w: int, th: int = 32,
-                              inverse: bool = False,
-                              interpret: bool = False):
-    """k fused coupling blocks on flat tensors with R = 3k halo rows.
-
-    x1f, x2f: (B, C, (H+2R)*S) from nhwc_to_flat(..., halo_rows=R).
-    Returns (y1f, y2f) in the same layout (halo slots garbage). Forward
-    applies blocks 0..k-1 in order; inverse applies their inverses in
-    reverse order (i.e. inverts the same forward chain).
-    """
-    b, c, n_lanes = x2f.shape
-    k = chain["w1"].shape[0]
-    r = HALO * k
-    s = row_stride(w)
-    assert n_lanes == (h + 2 * r) * s, (n_lanes, h, r, s)
-    assert h % th == 0, f"H={h} not divisible by tile {th}"
-    # A tile's halo must not cross the image edge unless it IS the edge
-    # tile (only is_top/is_bottom apply the reflection fixes).
-    assert th >= r or h <= th, f"tile {th} < chain halo {r}"
-    n_tiles = h // th
-    t = th + 2 * r
-
-    el = pl.Element
-    kernel = partial(
-        _chain_kernel_flat, k=k, th=th, s=s, w_img=w, co=col_offset(w), c=c,
-        n_tiles=n_tiles, inverse=inverse,
-    )
-    stream_spec = pl.BlockSpec((el(1), el(c), el(t * s)),
-                               lambda bb, ii: (bb, 0, ii * th * s),
-                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((el(1), el(c), el(th * s)),
-                            lambda bb, ii: (bb, 0, (r + ii * th) * s),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(b, n_tiles),
-        in_specs=[stream_spec, stream_spec]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct(x1f.shape, x1f.dtype),
-                   jax.ShapeDtypeStruct(x2f.shape, x2f.dtype)),
-        interpret=interpret,
-    )(x2f, x1f, chain["w1"], chain["b1"], chain["w2"], chain["b2"],
-      chain["w3"], chain["b3"])
