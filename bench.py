@@ -56,7 +56,7 @@ def main():
     # host readback (vstnet_tpu/runtime/timing.py).
     best = 0.0
     best_batch = 0
-    for batch in (96, 128):
+    for batch in (128, 256):  # sweep knees measured in PERF.md
         frames = jnp.asarray(
             rng.uniform(size=(batch, 512, 512, 3)), dtype)
         out = stylize_frames(fast, frames, ls, mu_s)

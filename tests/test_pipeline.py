@@ -136,3 +136,25 @@ def test_package_factory_surface(rng):
                                rtol=1e-3, atol=1e-3)
     m = seg_fn(x)
     assert m.shape == (1, 32, 32) and m.dtype == jnp.int32
+
+
+def test_photo_pipeline_autoseg_batched(small_model, rng):
+    """Auto-seg inside photo_pipeline: same-shape content/style route
+    through ONE batched segmenter pass + one batched encode; outputs
+    stay per-image (no cross-talk with the mismatched-shape route)."""
+    from vstnet_tpu.models.segformer import Segmenter, DEPTHS
+
+    seg = Segmenter.load(None, depths=(1, 1, 1, 1))
+    m = StyleModel(cfg=small_model.cfg, params=small_model.params,
+                   segmenter=seg)
+    c = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    out = m.photo_pipeline(c, s)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # mismatched shapes take the two-pass branch; same contract
+    s2 = jnp.asarray(rng.uniform(size=(1, 48, 32, 3)), jnp.float32)
+    out2 = m.photo_pipeline(c, s2)
+    assert out2.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out2)).all()

@@ -196,3 +196,47 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flat_step_matches_tree_step(rng):
+    """The flat-buffer production step (one raveled master vector,
+    elementwise Adam) reproduces the tree-based reference step exactly."""
+    import optax
+    from jax.flatten_util import ravel_pytree
+    from vstnet_tpu.models.revresnet import init_revresnet
+    from vstnet_tpu.train.losses import (
+        AUX_KEYS, LossWeights, loss_and_grads, loss_and_grads_flat)
+    from vstnet_tpu.train.trainer import TrainConfig, make_optimizer
+
+    tc = TrainConfig(weights=LossWeights(lap=10.0, temporal=0.0))
+    params = init_revresnet(jax.random.PRNGKey(0), SMALL)
+    vgg_params = init_vgg(jax.random.PRNGKey(1))
+    a = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    flow = jnp.zeros((2, 32, 32, 2))
+    noise = jnp.zeros_like(a)
+
+    grads, aux = loss_and_grads(
+        params, vgg_params, a, b, flow, noise, SMALL, tc.weights, False)
+    flat, unravel = ravel_pytree(params)
+    fgrads, aux_stack = loss_and_grads_flat(
+        flat, unravel, vgg_params, a, b, flow, noise, SMALL, tc.weights,
+        False)
+
+    ref_flat, _ = ravel_pytree(grads)
+    np.testing.assert_allclose(np.asarray(fgrads), np.asarray(ref_flat),
+                               rtol=2e-5, atol=2e-6)
+    for k, v in zip(AUX_KEYS, aux_stack):
+        np.testing.assert_allclose(float(v), float(aux[k]), rtol=1e-4,
+                                   atol=2e-5)
+
+    # one optimizer step each way -> identical updated parameters
+    opt = make_optimizer(tc)
+    upd, _ = opt.update(grads, opt.init(params), params)
+    tree_next, _ = ravel_pytree(optax.apply_updates(params, upd))
+    fupd, _ = opt.update(fgrads, opt.init(flat), flat)
+    flat_next = optax.apply_updates(flat, fupd)
+    # atol ~ 0.1*lr: adam's m/sqrt(v) at step 1 amplifies reduction-order
+    # noise in tiny grads; updates per step are bounded by lr=1e-4
+    np.testing.assert_allclose(np.asarray(flat_next), np.asarray(tree_next),
+                               rtol=2e-5, atol=1e-5)

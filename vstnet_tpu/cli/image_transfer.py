@@ -89,9 +89,12 @@ def main(argv=None):
     if args.auto_seg:
         from vstnet_tpu.models.segformer import Segmenter
 
+        # half= stays off even under --fast: default-precision f32 already
+        # runs the segmenter convs as single bf16 passes on TPU; the bf16
+        # activation path measured SLOWER (86.1 vs 78.5 ms @1024², extra
+        # casts + f32-layernorm roundtrips). See PERF.md.
         seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
-                             label_mapping=args.label_mapping,
-                             half=args.fast)
+                             label_mapping=args.label_mapping)
         cmask = np.asarray(seg.segment(jnp.asarray(content)))
         smask = np.asarray(seg.segment(jnp.asarray(style)))
         cmask, smask = seg.remap(cmask, smask)

@@ -126,15 +126,18 @@ def photo_pipeline_bench(size: int = 1024, iters: int = 5):
 
     @jax.jit
     def full(params, c, s):
-        cm = segment_mask(seg.params, c)
-        sm = segment_mask(seg.params, s)
+        # one batched segmenter pass for both images; f32 default
+        # precision beats the bf16 activation path on v5e (78.5 vs
+        # 86.1 ms @1024²) — see PERF.md
+        cm, sm = jnp.split(
+            segment_mask(seg.params, jnp.concatenate([c, s])), 2)
         return photo_forward(params, c, s, cm, sm, model.cfg,
                              max_labels=64, use_masks=True)
 
     @jax.jit
     def full_fast(fast, c, s):
-        cm = segment_mask(seg.params, c, half=True)
-        sm = segment_mask(seg.params, s, half=True)
+        cm, sm = jnp.split(
+            segment_mask(seg.params, jnp.concatenate([c, s])), 2)
         return photo_forward_fast(fast, c, s, cm, sm, model.cfg,
                                   max_labels=64, use_masks=True)
 
@@ -175,50 +178,72 @@ def train_profile(size: int = 256, batch: int = 2, iters: int = 5):
     rows = []
 
     def add(name, fn, *args, **kw):
-        dt = timeit_real(fn, *args, iters=iters, chain=False, **kw)
+        try:
+            dt = timeit_real(fn, *args, iters=iters, chain=False, **kw)
+        except Exception as e:  # OOM/compile failure: report, keep going
+            print(f"  {name:34s}:   FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})")
+            return
         rows.append((name, dt))
         print(f"  {name:34s}: {dt * 1000:8.1f} ms")
 
-    for remat in (True, False):
-        cfg = PHOTO_CONFIG.with_remat() if remat else PHOTO_CONFIG
-        params = init_revresnet(jax.random.PRNGKey(0), cfg)
-        opt_state = opt.init(params)
+    # components first (remat-independent; informative even if the full
+    # step OOMs/fails)
+    cfg = PHOTO_CONFIG
+    params = init_revresnet(jax.random.PRNGKey(0), cfg)
+    print(f"train components ({batch}x{size}x{size}, f32):")
+    add("encode (1 of 5 passes, fwd only)", jax.jit(
+        lambda p, x: encode(p, x, cfg)), params, a)
+    z = jax.jit(lambda p, x: encode(p, x, cfg))(params, a)
+    add("decode (fwd only)", jax.jit(
+        lambda p, z: decode(p, z, cfg)), params, z)
+    # grads reduced to ONE scalar output: a tree-output program reads
+    # ~30-55 ms/buffer of relay dispatch overhead (~100 leaves -> ~5 s
+    # wall for a 66 ms program) — see PERF.md
+    add("encode fwd+bwd (grad-norm fenced)", jax.jit(
+        lambda p, x: sum(
+            jnp.vdot(l, l) for l in jax.tree.leaves(jax.grad(
+                lambda pp: jnp.sum(jnp.square(encode(pp, x, cfg))))(p)))),
+        params, a)
+    add("vgg losses (fwd only)", jax.jit(
+        lambda a, b: vgg_losses(vgg_params, a, b, b, n_layer=4)), a, b)
+    add("matting loss+grad (fwd only)", jax.jit(
+        lambda a, b: matting_loss_and_grad(a, b)), a, b)
 
-        @jax.jit
-        def full_step(params, opt_state, a, b):
-            grads, aux = loss_and_grads(
-                params, vgg_params, a, b, flow, noise, cfg, weights)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            import optax
+    # the production step: flat master buffer, ~6 output buffers. (The
+    # tree-output step is unmeasurable through the axon relay: ~30-55 ms
+    # PER OUTPUT BUFFER of dispatch overhead made ~200 grad/param leaves
+    # read as ~20 s wall against ~0.4 s device time — PERF.md.)
+    from vstnet_tpu.train.trainer import (
+        TrainConfig as _TC,
+        init_flat_train_state,
+        make_flat_step,
+    )
 
-            return optax.apply_updates(params, updates), opt_state, aux
+    tc = _TC()
+    state, opt_f = init_flat_train_state(tc)
+    step_fn = make_flat_step(tc, opt_f, state.unravel)
+    print(f"train step ({batch}x{size}x{size}, f32, remat=on, "
+          "flat master buffer):")
+    import time as _time
 
-        print(f"train profile ({batch}x{size}x{size}, f32, "
-              f"remat={'on' if remat else 'off'}):")
-        add("full step (5-pass + losses + adam)", full_step,
-            params, opt_state, a, b)
-        if remat:
-            continue  # components below are remat-independent
-
-        add("fwd+bwd w/o matting", jax.jit(
-            lambda p, a, b: loss_and_grads(
-                p, vgg_params, a, b, flow, noise, cfg,
-                LossWeights(lap=0.0))[1]["loss_total"]), params, a, b)
-        add("fwd+bwd w/o matting+cycle", jax.jit(
-            lambda p, a, b: loss_and_grads(
-                p, vgg_params, a, b, flow, noise, cfg,
-                LossWeights(lap=0.0, rec=0.0))[1]["loss_total"]),
-            params, a, b)
-        add("encode (1 of 5 passes, fwd only)", jax.jit(
-            lambda p, x: encode(p, x, cfg)), params, a)
-        z = jax.jit(lambda p, x: encode(p, x, cfg))(params, a)
-        add("decode (fwd only)", jax.jit(
-            lambda p, z: decode(p, z, cfg)), params, z)
-        add("vgg losses (fwd only)", jax.jit(
-            lambda a, b: vgg_losses(vgg_params, a, b, b, n_layer=4)),
-            a, b)
-        add("matting loss+grad (fwd only)", jax.jit(
-            lambda a, b: matting_loss_and_grad(a, b)), a, b)
+    # chained manually: the step donates flat/opt_state, so each call
+    # must consume the previous call's outputs
+    flat, opt_state = state.flat, state.opt_state
+    flat, opt_state, aux = step_fn(flat, opt_state, vgg_params, a, b,
+                                   flow, noise)
+    _ = np.asarray(aux)  # compile + warm + fence
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        flat, opt_state, aux = step_fn(flat, opt_state, vgg_params, a, b,
+                                       flow, noise)
+    _ = np.asarray(aux)
+    dt = (_time.perf_counter() - t0) / iters
+    rows.append(("full step (5-pass + losses + adam)", dt))
+    print(f"  full step (5-pass + losses + adam)  : {dt * 1000:8.1f} ms")
+    print(f"  => {1.0 / dt:.2f} steps/sec "
+          f"(reference-scale run: 170k iters in "
+          f"{170e3 * dt / 3600:.1f} h)")
     return rows
 
 

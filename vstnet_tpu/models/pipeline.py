@@ -141,8 +141,12 @@ def photo_forward(
     """
     content_lab = rgb2lab(c_image)
 
-    z_s = encode(params, s_image, cfg)
-    z_c = encode(params, c_image, cfg)
+    if c_image.shape == s_image.shape:
+        z = encode(params, jnp.concatenate([c_image, s_image]), cfg)
+        z_c, z_s = jnp.split(z, 2)
+    else:
+        z_s = encode(params, s_image, cfg)
+        z_c = encode(params, c_image, cfg)
 
     if use_masks:
         cm = _mask_to_latent(cmask, z_c.shape)
@@ -188,8 +192,15 @@ def photo_forward_fast(
     sb = s_image.astype(jnp.bfloat16)
 
     if use_masks:
-        z_s = rf.encode_fast(fast_params, sb, cfg)
-        z_c = rf.encode_fast(fast_params, cb, cfg)
+        if cb.shape == sb.shape:
+            # one batched encode for both images (shapes are trace-time
+            # static, so this branch compiles in only when applicable)
+            z = rf.encode_fast(
+                fast_params, jnp.concatenate([cb, sb]), cfg)
+            z_c, z_s = jnp.split(z, 2)
+        else:
+            z_s = rf.encode_fast(fast_params, sb, cfg)
+            z_c = rf.encode_fast(fast_params, cb, cfg)
         cm = _mask_to_latent(cmask, z_c.shape)
         sm = _mask_to_latent(smask, z_s.shape)
         z_cs = cwct.transfer_masked(z_c, z_s, cm, sm, max_labels=max_labels)
@@ -294,8 +305,13 @@ class StyleModel:
         s_pad = pad_to_multiple(s_image, self.MAX_TIMES)
 
         if cmask is None and self.segmenter is not None:
-            cmask = self.segmenter.segment(c_pad)
-            smask = self.segmenter.segment(s_pad)
+            if c_pad.shape == s_pad.shape:
+                masks = self.segmenter.segment(
+                    jnp.concatenate([c_pad, s_pad]))
+                cmask, smask = masks[:b], masks[b:]
+            else:
+                cmask = self.segmenter.segment(c_pad)
+                smask = self.segmenter.segment(s_pad)
         use_masks = cmask is not None
         if not use_masks:
             # placeholder masks (ignored under use_masks=False)

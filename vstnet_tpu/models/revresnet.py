@@ -11,7 +11,11 @@ one weight tree runs both directions —
   decode:  exact algebraic inverse, block by block, in reverse order.
 
 Design departures from the reference (TPU-first, not a port):
-  * NHWC layout, channels on the lane axis.
+  * NHWC at the public boundary; NCHW inside the block stack. XLA tiles
+    the two minor dims (H sublanes, W lanes), so the 4/16/64-channel
+    streams cost no lane padding in NCHW — the NHWC formulation measured
+    8-32x padding expansion on autodiff-saved f32 residuals and a 22 s
+    training step (PERF.md); NCHW internals take it to sub-second.
   * Pure functions over a params pytree; `jax.jit` at the pipeline level.
   * Python-level loop over blocks (static unroll): 30 blocks of 3 convs
     compile into one fused XLA program; no data-dependent control flow.
@@ -36,14 +40,16 @@ import jax.numpy as jnp
 
 from vstnet_tpu.config import RevResNetConfig
 from vstnet_tpu.ops.coupling import (
-    channel_merge,
-    channel_split,
-    injective_pad,
-    injective_unpad,
-    pixel_shuffle,
-    pixel_unshuffle,
+    channel_merge_nchw as channel_merge,
+    channel_split_nchw as channel_split,
+    injective_pad_nchw as injective_pad,
+    injective_unpad_nchw as injective_unpad,
+    nchw_to_nhwc,
+    nhwc_to_nchw,
+    pixel_shuffle_nchw as pixel_shuffle,
+    pixel_unshuffle_nchw as pixel_unshuffle,
 )
-from vstnet_tpu.ops.pad_conv import residual_branch
+from vstnet_tpu.ops.pad_conv import residual_branch_nchw as residual_branch
 
 
 # ---------------------------------------------------------------------------
@@ -176,23 +182,24 @@ def encode(params: Dict, x, cfg: RevResNetConfig):
             f"of {ds}; pad the input first (the pipeline's pad_to_multiple does this)"
         )
     plan = cfg.block_plan()
+    x = nhwc_to_nchw(x)
     x = injective_pad(x, cfg.inj_pad)
     x1, x2 = channel_split(x)
     for bp, (_, stride) in zip(params["stack"], plan):
         x1, x2 = _maybe_remat(_block_forward, cfg, stride)(x1, x2, bp)
     x = channel_merge(x1, x2)
-    return _reduction_forward(x, params["reduction"], cfg)
+    return nchw_to_nhwc(_reduction_forward(x, params["reduction"], cfg))
 
 
 def decode(params: Dict, z, cfg: RevResNetConfig):
     """Latent -> image; exact inverse of `encode` with the same params."""
     plan = cfg.block_plan()
-    x = _reduction_inverse(z, params["reduction"], cfg)
+    x = _reduction_inverse(nhwc_to_nchw(z), params["reduction"], cfg)
     x1, x2 = channel_split(x)
     for bp, (_, stride) in zip(reversed(params["stack"]), reversed(plan)):
         x1, x2 = _maybe_remat(_block_inverse, cfg, stride)(x1, x2, bp)
     x = channel_merge(x1, x2)
-    return injective_unpad(x, cfg.inj_pad)
+    return nchw_to_nhwc(injective_unpad(x, cfg.inj_pad))
 
 
 def latent_shape(cfg: RevResNetConfig, h: int, w: int):

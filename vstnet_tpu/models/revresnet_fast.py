@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from vstnet_tpu.config import RevResNetConfig
+from vstnet_tpu.ops.coupling import pixel_shuffle_nchw, pixel_unshuffle_nchw
 from vstnet_tpu.ops.coupling_flat import (
     col_offset,
     flat_len,
@@ -125,21 +126,6 @@ def _branch_nchw(x, raw, stride):
                       raw["conv3"]["b"])
 
 
-def pixel_unshuffle_nchw(x, size: int = 2):
-    """(B,C,H,W) -> (B,s*s*C,H/s,W/s), torch channel order (s1,s2,c)."""
-    b, c, h, w = x.shape
-    nh, nw = h // size, w // size
-    x = x.reshape(b, c, nh, size, nw, size)
-    x = x.transpose(0, 3, 5, 1, 2, 4)
-    return x.reshape(b, size * size * c, nh, nw)
-
-
-def pixel_shuffle_nchw(x, size: int = 2):
-    b, c, h, w = x.shape
-    nc = c // (size * size)
-    x = x.reshape(b, size, size, nc, h, w)
-    x = x.transpose(0, 3, 4, 1, 5, 2)
-    return x.reshape(b, nc, h * size, w * size)
 
 
 # ---------------------------------------------------------------------------

@@ -79,3 +79,49 @@ def nchw_to_nhwc(x):
 
 def nhwc_to_nchw(x):
     return jnp.transpose(x, (0, 3, 1, 2))
+
+
+# ---------------------------------------------------------------------------
+# NCHW twins — used by the f32 training/parity path (models/revresnet.py)
+# and the fast path's XLA stages (models/revresnet_fast.py). On TPU, XLA
+# tiles the two minor dims (H on sublanes, W on lanes), so NCHW costs no
+# lane padding for the 4-64ch streams; NHWC pads C to 128 lanes (up to
+# 32x on saved autodiff residuals — see PERF.md).
+# ---------------------------------------------------------------------------
+
+def channel_split_nchw(x):
+    n = x.shape[1] // 2
+    return x[:, :n], x[:, n:]
+
+
+def channel_merge_nchw(x1, x2):
+    return jnp.concatenate([x1, x2], axis=1)
+
+
+def injective_pad_nchw(x, pad: int):
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+
+def injective_unpad_nchw(x, pad: int):
+    if pad == 0:
+        return x
+    return x[:, : x.shape[1] - pad]
+
+
+def pixel_unshuffle_nchw(x, size: int = 2):
+    """(B, C, H, W) -> (B, s*s*C, H/s, W/s), torch (s1, s2, c) order."""
+    b, c, h, w = x.shape
+    nh, nw = h // size, w // size
+    x = x.reshape(b, c, nh, size, nw, size)
+    x = x.transpose(0, 3, 5, 1, 2, 4)
+    return x.reshape(b, size * size * c, nh, nw)
+
+
+def pixel_shuffle_nchw(x, size: int = 2):
+    b, c, h, w = x.shape
+    nc = c // (size * size)
+    x = x.reshape(b, size, size, nc, h, w)
+    x = x.transpose(0, 3, 4, 1, 5, 2)
+    return x.reshape(b, nc, h * size, w * size)

@@ -128,3 +128,44 @@ def loss_and_grads(params, vgg_params, images_a, images_b, flow, noise,
     (grads,) = vjp_fn((jnp.asarray(1.0, total.dtype), lap_cotangent))
     aux["loss_total"] = total
     return grads, aux
+
+
+AUX_KEYS = ("loss_c", "loss_s", "loss_rec", "loss_tmp", "loss_tmp_gt",
+            "loss_lap", "loss_total")
+
+
+def loss_and_grads_flat(flat_params, unravel, vgg_params, images_a,
+                        images_b, flow, noise, cfg: RevResNetConfig,
+                        weights: LossWeights, temporal_phase: bool = False):
+    """loss_and_grads against a single raveled parameter vector.
+
+    Returns (flat_grads (N,), aux_stack (len(AUX_KEYS),)). One gradient
+    buffer instead of ~100 tree leaves: jit outputs cost per-buffer
+    dispatch overhead on some PJRT transports (measured ~30-55 ms/buffer
+    through the axon relay — PERF.md), and a flat master buffer is also
+    the natural layout for fused optimizer updates and data-parallel
+    gradient all-reduces.
+    """
+    (outs, vjp_fn, aux) = jax.vjp(
+        lambda fp: _forward_losses(
+            unravel(fp), vgg_params, images_a, images_b, cfg,
+            weights, flow, noise, temporal_phase),
+        flat_params,
+        has_aux=True,
+    )
+    total, stylized = outs
+
+    if weights.lap > 0:
+        lap_per_sample, lap_grad = matting_loss_and_grad(images_a, stylized)
+        lap_cotangent = jnp.clip(
+            lap_grad * weights.lap, -weights.lap_clamp, weights.lap_clamp
+        )
+        aux = dict(aux, loss_lap=jnp.mean(lap_per_sample))
+    else:
+        lap_cotangent = jnp.zeros_like(stylized)
+        aux = dict(aux, loss_lap=jnp.asarray(0.0))
+
+    (flat_grads,) = vjp_fn((jnp.asarray(1.0, total.dtype), lap_cotangent))
+    aux["loss_total"] = total
+    aux_stack = jnp.stack([aux[k] for k in AUX_KEYS])
+    return flat_grads, aux_stack

@@ -98,6 +98,80 @@ def train_step(state: TrainState, opt, vgg_params, images_a, images_b,
 
 
 # ---------------------------------------------------------------------------
+# Flat-buffer training: the production step
+# ---------------------------------------------------------------------------
+#
+# The parameter tree is raveled into ONE master vector; gradients are taken
+# with respect to it (losses.loss_and_grads_flat) and Adam/clip run
+# elementwise on the same vector. Identical math to train_step (tested),
+# but a step program has ~6 output buffers instead of ~200 tree leaves —
+# per-buffer dispatch overhead (measured ~30-55 ms/buffer through the axon
+# PJRT relay: a 5-pass step read 20 s wall against 0.4 s device time) made
+# the tree-output step unmeasurable there, and one flat buffer is also the
+# natural layout for data-parallel gradient all-reduces.
+
+@dataclasses.dataclass
+class FlatTrainState:
+    flat: jnp.ndarray          # raveled f32 master parameters
+    opt_state: object          # optax state over the flat vector
+    unravel: object            # flat -> params pytree (host/trace fn)
+    step: int = 0
+
+    @property
+    def params(self) -> dict:
+        return self.unravel(self.flat)
+
+
+def init_flat_train_state(tc: TrainConfig, params: Optional[dict] = None):
+    from jax.flatten_util import ravel_pytree
+
+    if params is None:
+        params = init_revresnet(jax.random.PRNGKey(tc.seed), tc.model_cfg)
+    flat, unravel = ravel_pytree(params)
+    opt = make_optimizer(tc)
+    return FlatTrainState(flat=flat, opt_state=opt.init(flat),
+                          unravel=unravel), opt
+
+
+def make_flat_step(tc: TrainConfig, opt, unravel):
+    """Build the jitted flat step: (flat, opt_state, a, b, flow, noise)
+    -> (flat', opt_state', aux_stack). Donates flat/opt_state buffers."""
+    from vstnet_tpu.train.losses import loss_and_grads_flat
+
+    cfg = tc.model_cfg
+
+    @partial(jax.jit, static_argnames=("temporal_phase",),
+             donate_argnums=(0, 1))
+    def step(flat, opt_state, vgg_params, a, b, flow, noise,
+             temporal_phase=False):
+        grads, aux_stack = loss_and_grads_flat(
+            flat, unravel, vgg_params, a, b, flow, noise, cfg,
+            tc.weights, temporal_phase)
+        updates, opt_state = opt.update(grads, opt_state, flat)
+        return optax.apply_updates(flat, updates), opt_state, aux_stack
+
+    return step
+
+
+def flat_train_step(state: FlatTrainState, step_fn, vgg_params, images_a,
+                    images_b, flow=None, noise=None,
+                    temporal_phase: bool = False):
+    """Drive one flat step; returns (new_state, aux dict)."""
+    from vstnet_tpu.train.losses import AUX_KEYS
+
+    if flow is None:
+        flow = jnp.zeros((*images_a.shape[:3], 2), jnp.float32)
+    if noise is None:
+        noise = jnp.zeros_like(images_a)
+    flat, opt_state, aux_stack = step_fn(
+        state.flat, state.opt_state, vgg_params, images_a, images_b,
+        flow, noise, temporal_phase=temporal_phase)
+    aux = dict(zip(AUX_KEYS, aux_stack))
+    return FlatTrainState(flat, opt_state, state.unravel,
+                          state.step + 1), aux
+
+
+# ---------------------------------------------------------------------------
 # Checkpointing (reference-compatible names and formats)
 # ---------------------------------------------------------------------------
 
@@ -118,12 +192,15 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, name: str = "last.pt",
 
 
 def load_checkpoint(tc: TrainConfig, ckpt_dir: str, name: str = "last.pt",
-                    resume_iter: int = -1):
+                    resume_iter: int = -1, flat: bool = False):
     from vstnet_tpu.io.checkpoint import load_native, load_revresnet
 
     path = os.path.join(ckpt_dir, name)
     params = load_revresnet(path)
-    state, opt = init_train_state(tc, params)
+    if flat:
+        state, opt = init_flat_train_state(tc, params)
+    else:
+        state, opt = init_train_state(tc, params)
     opt_path = path + ".opt.msgpack"
     if os.path.exists(opt_path):
         blob = load_native(opt_path)
@@ -214,10 +291,12 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
                               seed=tc.seed + 1000)
 
     if resume:
-        state, opt = load_checkpoint(tc, ckpt_dir, resume_iter=resume_iter)
+        state, opt = load_checkpoint(tc, ckpt_dir, resume_iter=resume_iter,
+                                     flat=True)
         print(f"Resume from {ckpt_dir}/last.pt at iter {state.step}")
     else:
-        state, opt = init_train_state(tc)
+        state, opt = init_flat_train_state(tc)
+    step_fn = make_flat_step(tc, opt, state.unravel)
 
     host_rng = np.random.default_rng(tc.seed + 7)
     noise_key = jax.random.PRNGKey(tc.seed + 13)
@@ -240,8 +319,8 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
             stddev = tc.weights.noise_level * (1 + host_rng.random())
             noise = stddev * jax.random.normal(sub, a.shape)
 
-        state, aux = train_step(state, opt, vgg_params, a, b, tc,
-                                flow, noise, temporal)
+        state, aux = flat_train_step(state, step_fn, vgg_params, a, b,
+                                     flow, noise, temporal)
 
         it = state.step
         if it % tc.log_every == 0:
