@@ -100,7 +100,7 @@ def main(argv=None):
                                 packed_latent=True)
             z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
             out = rf.decode_fast(fp, z_cs, cfg, packed_latent=True)
-            return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            return _to_u8(out.astype(jnp.float32))
 
     smask = None
     seg = None
@@ -111,6 +111,11 @@ def main(argv=None):
                              label_mapping=args.label_mapping)
         smask = seg.segment(jnp.asarray(style))
 
+    def _to_u8(x):
+        """Device-side uint8 pack: 4x less readback than f32 frames (the
+        host link is the video bottleneck — PERF.md)."""
+        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
     @jax.jit
     def stylize_batch(params, frames):
         z_c = encode(params, frames, cfg)
@@ -119,7 +124,7 @@ def main(argv=None):
                 z_c, z_s[None], jnp.asarray([1.0]), alpha_c=float(args.alpha_c))
         else:
             z_cs = cwct.transfer_with_factors(z_c, ls, mu_s)
-        return jnp.clip(decode(params, z_cs, cfg), 0.0, 1.0)
+        return _to_u8(decode(params, z_cs, cfg))
 
     @jax.jit
     def stylize_batch_masked(params, frames, cmasks, smask_b):
@@ -127,7 +132,7 @@ def main(argv=None):
         sm = jnp.broadcast_to(smask_b, (frames.shape[0], *smask_b.shape[1:]))
         z_ss = jnp.broadcast_to(z_s, (frames.shape[0], *z_s.shape[1:]))
         z_cs = cwct.transfer_masked(z_c, z_ss, cmasks, sm)
-        return jnp.clip(decode(params, z_cs, cfg), 0.0, 1.0)
+        return _to_u8(decode(params, z_cs, cfg))
 
     vname = os.path.splitext(os.path.basename(args.video))[0]
     sname = os.path.splitext(os.path.basename(args.style))[0]
@@ -155,9 +160,13 @@ def main(argv=None):
         yield first
         yield from frames_iter
 
+    @jax.jit
+    def _prep(batch_u8):
+        # uint8 upload (4x less host->device traffic), scale+resize on chip
+        return resize_bilinear(batch_u8.astype(jnp.float32) / 255.0, h, w)
+
     def to_device_batch(batch_np):
-        x = jnp.asarray(np.stack(batch_np), jnp.float32) / 255.0
-        return resize_bilinear(x, h, w)
+        return _prep(jnp.asarray(np.stack(batch_np)))
 
     t0 = time.time()
     done = 0
