@@ -95,3 +95,51 @@ def test_parallel_train_step(devices_ok, rng):
     assert np.isfinite(float(aux["loss_total"]))
     for leaf in jax.tree_util.tree_leaves(p2):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_parallel_flat_step_matches_single(devices_ok, rng):
+    """The flat-buffer production step over the 8-device data mesh equals
+    the single-device flat step (one fused gradient all-reduce)."""
+    from jax.flatten_util import ravel_pytree
+    from vstnet_tpu.models.vgg import init_vgg
+    from vstnet_tpu.parallel import make_parallel_flat_step
+    from vstnet_tpu.train.losses import LossWeights, loss_and_grads_flat
+    from vstnet_tpu.train.trainer import TrainConfig, make_optimizer
+    import optax
+
+    mesh = make_mesh(8, axes=("data",))
+    tc = TrainConfig()
+    opt = make_optimizer(tc)
+    weights = LossWeights(lap=10.0, temporal=0.0)
+    params = init_revresnet(jax.random.PRNGKey(2), SMALL)
+    vggp = init_vgg(jax.random.PRNGKey(3))
+    flat, unravel = ravel_pytree(params)
+    opt_state = opt.init(flat)
+
+    a = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)), jnp.float32)
+    flow = jnp.zeros((8, 16, 16, 2))
+    noise = jnp.zeros_like(a)
+
+    # single-device reference first (the parallel step donates `flat`)
+    grads, aux_ref = loss_and_grads_flat(
+        flat, unravel, vggp, a, b, flow, noise, SMALL, weights, False)
+    upd, _ = opt.update(grads, opt.init(flat), flat)
+    ref = optax.apply_updates(flat, upd)
+
+    step = make_parallel_flat_step(mesh, opt, SMALL, weights, unravel)
+    with mesh:
+        f2, o2, aux = step(flat, opt_state, vggp,
+                           shard_batch(mesh, a), shard_batch(mesh, b),
+                           shard_batch(mesh, flow),
+                           shard_batch(mesh, noise))
+        jax.block_until_ready(f2)
+    assert np.isfinite(np.asarray(f2)).all()
+    # a handful of elements see adam's step-1 m/sqrt(v) amplify sharded-
+    # reduction-order noise up to the update scale (lr=1e-4); bound those
+    # by atol=1e-4 and the aggregate drift much tighter
+    f2n, refn = np.asarray(f2), np.asarray(ref)
+    np.testing.assert_allclose(f2n, refn, rtol=1e-4, atol=1e-4)
+    assert np.mean(np.abs(f2n - refn)) < 1e-6
+    np.testing.assert_allclose(np.asarray(aux), np.asarray(aux_ref),
+                               rtol=1e-4, atol=2e-5)

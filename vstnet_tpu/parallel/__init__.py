@@ -5,5 +5,6 @@ from vstnet_tpu.parallel.sharding import (  # noqa: F401
     spatial_sharded,
     shard_batch,
     parallel_stylize,
+    make_parallel_flat_step,
     make_parallel_train_step,
 )

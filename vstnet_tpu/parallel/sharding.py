@@ -121,3 +121,39 @@ def make_parallel_train_step(mesh: Mesh, opt, cfg: RevResNetConfig, weights,
         return params2, opt_state2, aux
 
     return step
+
+
+def make_parallel_flat_step(mesh: Mesh, opt, cfg: RevResNetConfig, weights,
+                            unravel, spatial: bool = False,
+                            temporal_phase: bool = False):
+    """The flat-buffer production step (train/trainer.py:make_flat_step)
+    over a device mesh: batch sharded on 'data' (optionally rows on
+    'spatial'), the single raveled master vector and optimizer moments
+    replicated. GSPMD reduces the whole gradient as ONE fused all-reduce
+    over the flat vector — the ideal ICI collective shape (vs ~100
+    per-leaf reductions for a tree step).
+
+    Returns step(flat, opt_state, vgg_params, a, b, flow, noise)
+    -> (flat', opt_state', aux_stack).
+    """
+    import optax
+
+    from vstnet_tpu.train.losses import loss_and_grads_flat
+
+    data_sh = spatial_sharded(mesh) if spatial else batch_sharded(mesh)
+    rep = replicated(mesh)
+
+    @partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep, data_sh, data_sh, data_sh, data_sh),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    def step(flat, opt_state, vgg_params, a, b, flow, noise):
+        grads, aux_stack = loss_and_grads_flat(
+            flat, unravel, vgg_params, a, b, flow, noise, cfg, weights,
+            temporal_phase)
+        updates, opt_state = opt.update(grads, opt_state, flat)
+        return optax.apply_updates(flat, updates), opt_state, aux_stack
+
+    return step
