@@ -240,3 +240,37 @@ def test_flat_step_matches_tree_step(rng):
     # noise in tiny grads; updates per step are bounded by lr=1e-4
     np.testing.assert_allclose(np.asarray(flat_next), np.asarray(tree_next),
                                rtol=2e-5, atol=1e-5)
+
+
+def test_bf16_mixed_precision_step(rng):
+    """bf16 compute path: grads return f32 (master-weight pattern),
+    losses stay finite, and the gradient direction agrees with f32."""
+    from jax.flatten_util import ravel_pytree
+    from vstnet_tpu.models.revresnet import init_revresnet
+    from vstnet_tpu.train.losses import LossWeights, loss_and_grads_flat
+
+    w = LossWeights(lap=10.0, temporal=0.0)
+    params = init_revresnet(jax.random.PRNGKey(0), SMALL)
+    vgg_params = init_vgg(jax.random.PRNGKey(1))
+    a = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    flow = jnp.zeros((2, 32, 32, 2))
+    noise = jnp.zeros_like(a)
+    flat, unravel = ravel_pytree(params)
+
+    g32, aux32 = loss_and_grads_flat(
+        flat, unravel, vgg_params, a, b, flow, noise, SMALL, w, False)
+    g16, aux16 = loss_and_grads_flat(
+        flat, unravel, vgg_params, a, b, flow, noise, SMALL, w, False,
+        compute_dtype=jnp.bfloat16)
+
+    assert g16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g16)).all()
+    assert np.isfinite(np.asarray(aux16)).all()
+    # same descent direction (bf16 rounding aside)
+    a32, a16 = np.asarray(g32).ravel(), np.asarray(g16).ravel()
+    cos = float(np.dot(a32, a16)
+                / (np.linalg.norm(a32) * np.linalg.norm(a16) + 1e-12))
+    assert cos > 0.95, f"bf16/f32 gradient cosine {cos:.4f}"
+    np.testing.assert_allclose(np.asarray(aux16), np.asarray(aux32),
+                               rtol=0.1, atol=5e-3)

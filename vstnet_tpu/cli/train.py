@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("--image_display_iter", type=int, default=1000)
     p.add_argument("--image_save_iter", type=int, default=10000)
     p.add_argument("--model_save_interval", type=int, default=10000)
+    p.add_argument("--precision", choices=["f32", "bf16"], default="f32",
+                   help="bf16 = mixed precision (f32 master weights, "
+                        "single-pass MXU bf16 compute); f32 = reference "
+                        "semantics")
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap steps (smoke runs)")
     return p
@@ -72,6 +76,7 @@ def main(argv=None):
         logs_directory=args.logs_directory,
         base_name=args.base_name
         or datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S"),
+        precision=args.precision,
         image_display_iter=args.image_display_iter,
         image_save_iter=args.image_save_iter,
         model_save_interval=args.model_save_interval,

@@ -44,14 +44,17 @@ def _max_pool_ceil(x):
 def vgg_features(params: List[Dict], x, n_layer: int = 4):
     """x NHWC in [0,1] -> [relu1_1, ..., relu{n_layer}_1]."""
     feats = []
-    # conv 0: 1x1, no pad, no relu
+    # conv 0: 1x1, no pad, no relu. bf16 inputs keep bf16 output dtype
+    # (an f32 preferred_element_type breaks the conv AD transpose against
+    # bf16 weights — see ops/pad_conv.py)
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     x = lax.conv_general_dilated(
         x, params[0]["w"].astype(x.dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=(lax.Precision.HIGHEST if x.dtype == jnp.float32
                    else lax.Precision.DEFAULT),
-    ).astype(x.dtype) + params[0]["b"]
+    ).astype(x.dtype) + params[0]["b"].astype(x.dtype)
 
     for p, idx in zip(params[1:], _CONV_IDX[1:]):
         if _POOL_BEFORE.get(idx):
@@ -66,7 +69,11 @@ def vgg_features(params: List[Dict], x, n_layer: int = 4):
 
 
 def calc_mean_std(feat, eps: float = 1e-5):
-    """Per-sample, per-channel spatial mean/std (VGG.py:5-13)."""
+    """Per-sample, per-channel spatial mean/std (VGG.py:5-13).
+
+    f32 statistics regardless of feature dtype (bf16 variance cancels
+    catastrophically; the cast's AD converts cotangents cleanly)."""
+    feat = feat.astype(jnp.float32)
     mean = jnp.mean(feat, axis=(1, 2))
     # unbiased variance (ddof=1) — torch .var() default (VGG.py:10)
     var = jnp.var(feat, axis=(1, 2), ddof=1) + eps
@@ -83,7 +90,8 @@ def style_loss(stylized_feats, style_feats):
 
 
 def content_loss(stylized_feat, content_feat):
-    return jnp.mean((stylized_feat - content_feat) ** 2)
+    return jnp.mean((stylized_feat.astype(jnp.float32)
+                     - content_feat.astype(jnp.float32)) ** 2)
 
 
 def vgg_losses(params, content, style, stylized, n_layer: int = 4,

@@ -34,17 +34,21 @@ def conv2d_nhwc(x, w, b=None, stride: int = 1, padding="VALID"):
     precision = (
         lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
     )
+    # bf16 inputs keep a bf16 output dtype: the MXU accumulates f32
+    # internally either way, and an f32 preferred_element_type would make
+    # the conv's AD transpose pair an f32 cotangent with bf16 weights
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=precision,
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)
+        out = out + b.astype(pet)
     return out.astype(x.dtype)
 
 
@@ -78,17 +82,18 @@ def conv2d_nchw(x, w, b=None, stride: int = 1, padding="VALID"):
     precision = (
         lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
     )
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype  # see conv2d_nhwc
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=precision,
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)[None, :, None, None]
+        out = out + b.astype(pet)[None, :, None, None]
     return out.astype(x.dtype)
 
 
@@ -119,6 +124,7 @@ def conv2d_nchw_dot(x, w, b=None, stride: int = 1):
         lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
     )
     wf = w.astype(x.dtype)
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype  # see conv2d_nhwc
     out = None
     for r in range(kh):
         for c in range(kw):
@@ -128,10 +134,10 @@ def conv2d_nchw_dot(x, w, b=None, stride: int = 1):
                 (1, 1, stride, stride))
             part = jnp.einsum("bchw,co->bohw", tap, wf[r, c],
                               precision=precision,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=pet)
             out = part if out is None else out + part
     if b is not None:
-        out = out + b.astype(jnp.float32)[None, :, None, None]
+        out = out + b.astype(pet)[None, :, None, None]
     return out.astype(x.dtype)
 
 

@@ -136,7 +136,8 @@ AUX_KEYS = ("loss_c", "loss_s", "loss_rec", "loss_tmp", "loss_tmp_gt",
 
 def loss_and_grads_flat(flat_params, unravel, vgg_params, images_a,
                         images_b, flow, noise, cfg: RevResNetConfig,
-                        weights: LossWeights, temporal_phase: bool = False):
+                        weights: LossWeights, temporal_phase: bool = False,
+                        compute_dtype=None):
     """loss_and_grads against a single raveled parameter vector.
 
     Returns (flat_grads (N,), aux_stack (len(AUX_KEYS),)). One gradient
@@ -145,14 +146,26 @@ def loss_and_grads_flat(flat_params, unravel, vgg_params, images_a,
     through the axon relay — PERF.md), and a flat master buffer is also
     the natural layout for fused optimizer updates and data-parallel
     gradient all-reduces.
+
+    compute_dtype=jnp.bfloat16 runs the forward/backward in bf16 mixed
+    precision: the flat master stays f32 (the cast's vjp accumulates
+    gradients back to f32), activations/convs run single-pass MXU bf16;
+    cWCT statistics/Cholesky and the matting regularizer keep their f32
+    internals. Default (None) is the reference's full-f32 semantics.
     """
-    (outs, vjp_fn, aux) = jax.vjp(
-        lambda fp: _forward_losses(
-            unravel(fp), vgg_params, images_a, images_b, cfg,
-            weights, flow, noise, temporal_phase),
-        flat_params,
-        has_aux=True,
-    )
+    def fwd(fp):
+        p = unravel(fp)
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+            return _forward_losses(
+                p, vgg_params, images_a.astype(compute_dtype),
+                images_b.astype(compute_dtype), cfg, weights,
+                flow, noise, temporal_phase)
+        return _forward_losses(
+            p, vgg_params, images_a, images_b, cfg, weights, flow,
+            noise, temporal_phase)
+
+    (outs, vjp_fn, aux) = jax.vjp(fwd, flat_params, has_aux=True)
     total, stylized = outs
 
     if weights.lap > 0:
@@ -165,7 +178,9 @@ def loss_and_grads_flat(flat_params, unravel, vgg_params, images_a,
         lap_cotangent = jnp.zeros_like(stylized)
         aux = dict(aux, loss_lap=jnp.asarray(0.0))
 
-    (flat_grads,) = vjp_fn((jnp.asarray(1.0, total.dtype), lap_cotangent))
+    (flat_grads,) = vjp_fn((jnp.asarray(1.0, total.dtype),
+                            lap_cotangent.astype(stylized.dtype)))
     aux["loss_total"] = total
-    aux_stack = jnp.stack([aux[k] for k in AUX_KEYS])
+    aux_stack = jnp.stack([jnp.asarray(aux[k], jnp.float32)
+                           for k in AUX_KEYS])
     return flat_grads, aux_stack

@@ -43,6 +43,10 @@ class TrainConfig:
     image_save_iter: int = 10_000
     model_save_interval: int = 10_000
     seed: int = 0
+    # "f32" = reference semantics (Precision.HIGHEST convs);
+    # "bf16" = mixed precision: f32 master weights, bf16 compute
+    # (single-pass MXU convs; cWCT/matting keep f32 internals)
+    precision: str = "f32"
 
     @property
     def model_cfg(self) -> RevResNetConfig:
@@ -139,6 +143,8 @@ def make_flat_step(tc: TrainConfig, opt, unravel):
     from vstnet_tpu.train.losses import loss_and_grads_flat
 
     cfg = tc.model_cfg
+    compute_dtype = (jnp.bfloat16 if tc.precision.lower() == "bf16"
+                     else None)
 
     @partial(jax.jit, static_argnames=("temporal_phase",),
              donate_argnums=(0, 1))
@@ -146,7 +152,7 @@ def make_flat_step(tc: TrainConfig, opt, unravel):
              temporal_phase=False):
         grads, aux_stack = loss_and_grads_flat(
             flat, unravel, vgg_params, a, b, flow, noise, cfg,
-            tc.weights, temporal_phase)
+            tc.weights, temporal_phase, compute_dtype=compute_dtype)
         updates, opt_state = opt.update(grads, opt_state, flat)
         return optax.apply_updates(flat, updates), opt_state, aux_stack
 
