@@ -60,6 +60,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from vstnet_tpu.io.image import (
+        device_put_image,
         load_image,
         load_segment_image,
         save_image,
@@ -82,8 +83,9 @@ def main(argv=None):
         model = StyleModel.random_init(mode=args.mode)
 
     ds = model.cfg.down_scale
-    content = load_image(args.content, args.max_size, ds)
-    style = load_image(args.style, args.max_size, ds)
+    # uint8 host arrays; normalization happens on device (4x less upload)
+    content = load_image(args.content, args.max_size, ds, as_uint8=True)
+    style = load_image(args.style, args.max_size, ds, as_uint8=True)
 
     cmask = smask = None
     if args.auto_seg:
@@ -95,16 +97,16 @@ def main(argv=None):
         # casts + f32-layernorm roundtrips). See PERF.md.
         seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
                              label_mapping=args.label_mapping)
-        cmask = np.asarray(seg.segment(jnp.asarray(content)))
-        smask = np.asarray(seg.segment(jnp.asarray(style)))
+        cmask = np.asarray(seg.segment(device_put_image(content)))
+        smask = np.asarray(seg.segment(device_put_image(style)))
         cmask, smask = seg.remap(cmask, smask)
         _maybe_save_seg(args, cmask, smask)
     elif args.content_seg and args.style_seg:
         cmask = load_segment_image(args.content_seg, content.shape[1:3])
         smask = load_segment_image(args.style_seg, style.shape[1:3])
 
-    c = jnp.asarray(content)
-    s = jnp.asarray(style)
+    c = device_put_image(content)
+    s = device_put_image(style)
     if max(content.shape[1:3]) > args.ultra_threshold:
         # Ultra-resolution: bounded-memory tiled path (global transfer).
         from vstnet_tpu.models.cwct import host_check_finite
@@ -133,7 +135,7 @@ def main(argv=None):
         cn = os.path.splitext(os.path.basename(args.content))[0]
         sn = os.path.splitext(os.path.basename(args.style))[0]
         path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
-        save_image(np.asarray(out), path)
+        save_image(out, path)  # device array: uint8-packed readback
         print(f"Save at {path}")
         return path
     if cmask is not None:
@@ -153,7 +155,7 @@ def main(argv=None):
     cn = os.path.splitext(os.path.basename(args.content))[0]
     sn = os.path.splitext(os.path.basename(args.style))[0]
     path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
-    save_image(np.asarray(out), path)
+    save_image(out, path)  # device array: uint8-packed readback
     print(f"Save at {path}")
     return path
 

@@ -163,17 +163,13 @@ def train_profile(size: int = 256, batch: int = 2, iters: int = 5):
     from vstnet_tpu.models.vgg import init_vgg, vgg_losses
     from vstnet_tpu.ops.matting import matting_loss_and_grad
     from vstnet_tpu.runtime.timing import timeit_real
-    from vstnet_tpu.train.losses import LossWeights, loss_and_grads
-    from vstnet_tpu.train.trainer import TrainConfig, make_optimizer
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.uniform(size=(batch, size, size, 3)), jnp.float32)
     b = jnp.asarray(rng.uniform(size=(batch, size, size, 3)), jnp.float32)
     flow = jnp.zeros((batch, size, size, 2), jnp.float32)
     noise = jnp.zeros_like(a)
-    weights = LossWeights()
     vgg_params = init_vgg(jax.random.PRNGKey(1))
-    opt = make_optimizer(TrainConfig())
 
     rows = []
 

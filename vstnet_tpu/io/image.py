@@ -8,19 +8,36 @@ import numpy as np
 
 
 def load_image(path: str, max_size: int | None = None,
-               down_scale: int | None = None):
+               down_scale: int | None = None, as_uint8: bool = False):
     """Load RGB image -> float32 NHWC [0,1] with optional resize.
 
     Resize semantics follow utils.img_resize
     (/root/reference/utils/utils.py:90-101): cap the longest side at
     max_size (BICUBIC), then floor H/W to multiples of down_scale.
+
+    as_uint8=True returns the raw uint8 array instead — upload that and
+    normalize on-device (4x less host->device traffic; see
+    device_put_image).
     """
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
     img = resize_pil(img, max_size, down_scale)
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    return arr[None]  # (1, H, W, 3)
+    arr = np.asarray(img, dtype=np.uint8)
+    if as_uint8:
+        return arr[None]
+    return (arr.astype(np.float32) / 255.0)[None]  # (1, H, W, 3)
+
+
+def device_put_image(arr):
+    """uint8 NHWC host array -> f32 [0,1] device array, normalizing on
+    device so the host link moves 1 byte/channel."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(arr)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    return x
 
 
 def resize_pil(img, max_size=None, down_scale=None):
@@ -43,10 +60,18 @@ def save_image(arr, path: str):
     reference save path image_transfer.py:217-221)."""
     from PIL import Image
 
+    if not isinstance(arr, np.ndarray) and hasattr(arr, "dtype"):
+        # device array: clamp + uint8-pack on device so the host link
+        # moves 1 byte/channel instead of 4 (matters on slow transports)
+        import jax.numpy as jnp
+
+        arr = np.asarray(
+            jnp.round(jnp.clip(arr * 255.0, 0, 255)).astype(jnp.uint8))
     a = np.asarray(arr)
     if a.ndim == 4:
         a = a[0]
-    a = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+    if a.dtype != np.uint8:
+        a = np.clip(a * 255.0, 0, 255).astype(np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     Image.fromarray(a).save(path)
     return path

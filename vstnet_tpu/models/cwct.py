@@ -77,10 +77,18 @@ def host_check_finite(x, what: str = "stylized output"):
     """Host-boundary failure detection: raise if the cWCT poisoned the
     output with NaN (reference contract: cWCT.py:127-128 raises
     'Cholesky Decomposition fails'). Call on results about to be saved or
-    returned to the user; forces a device readback."""
+    returned to the user. The reduction runs on device — only one bool
+    crosses the host link (a full f32 readback here dominated 4K wall
+    time on slow transports)."""
     import numpy as np
 
-    if not np.isfinite(np.asarray(x)).all():
+    if hasattr(x, "dtype") and not isinstance(x, np.ndarray):
+        import jax.numpy as jnp
+
+        ok = bool(jnp.isfinite(x).all())
+    else:
+        ok = bool(np.isfinite(np.asarray(x)).all())
+    if not ok:
         raise FloatingPointError(
             f"Cholesky decomposition failed: non-finite {what} "
             "(degenerate feature covariance survived eps escalation)"

@@ -153,22 +153,23 @@ def stylize_tiled(params, content, style, cfg: RevResNetConfig,
     cov_c = (s2_tot - n_tot * jnp.outer(mean_c, mean_c)) / (n_tot - 1.0)
     t_mat, b_vec = cwct.transform_from_stats(mean_c, cov_c, ls, mu_s, eps)
 
-    # pass 2: transform + decode + blend
-    out = np.zeros((h, w, 3), np.float32)
-    wsum = np.zeros((h, w, 1), np.float32)
+    # pass 2: transform + decode + blend. The accumulators live ON DEVICE
+    # (per-tile f32 readbacks dominated 4K wall time through slow host
+    # links; only the final image crosses to the host — PERF.md).
+    out = jnp.zeros((h, w, 3), jnp.float32)
+    wsum = jnp.zeros((h, w, 1), jnp.float32)
     for iy, y0 in enumerate(ys):
-        wy = _ramp(th, overlap, y0 == 0, y0 + th == h)
+        wy = jnp.asarray(_ramp(th, overlap, y0 == 0, y0 + th == h))
         for ix, x0 in enumerate(xs):
             t_img = jax.lax.dynamic_slice(
                 content_np, (0, y0, x0, 0), (1, th, tw, 3))
-            o = np.asarray(
-                _tile_stylize(params, t_img, t_mat, b_vec, cfg)[0],
-                np.float32)
-            wx = _ramp(tw, overlap, x0 == 0, x0 + tw == w)
+            o = _tile_stylize(params, t_img, t_mat, b_vec, cfg)[0]
+            wx = jnp.asarray(_ramp(tw, overlap, x0 == 0, x0 + tw == w))
             wt = (wy[:, None] * wx[None, :])[..., None]
-            out[y0:y0 + th, x0:x0 + tw] += o * wt
-            wsum[y0:y0 + th, x0:x0 + tw] += wt
-    return jnp.asarray((out / wsum)[None])
+            out = out.at[y0:y0 + th, x0:x0 + tw].add(
+                o.astype(jnp.float32) * wt)
+            wsum = wsum.at[y0:y0 + th, x0:x0 + tw].add(wt)
+    return (out / wsum)[None]
 
 
 def ownership_check(h: int, w: int, cfg, tile: int, overlap: int) -> bool:
