@@ -37,25 +37,36 @@ def main():
         _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
 
     print("trace done", flush=True)
-    # summarize: find xplane file and run the op-profile converter
     xplanes = glob.glob(
         os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     print("xplanes:", xplanes, flush=True)
-    if not xplanes:
-        return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
+    for f in xplanes:
+        summarize_xplane(f)
 
-    for tool in ("framework_op_stats", "hlo_stats"):
-        try:
-            data, _ = r2t.xspace_to_tool_data(xplanes, tool, {})
-            path = os.path.join(logdir, tool + ".out")
-            mode = "wb" if isinstance(data, bytes) else "w"
-            with open(path, mode) as fh:
-                fh.write(data)
-            print("wrote", path, len(data), flush=True)
-        except Exception as e:
-            print(tool, "failed:", type(e).__name__, str(e)[:200],
-                  flush=True)
+
+def summarize_xplane(path, top: int = 25):
+    """Aggregate device-plane event durations by op name. (The
+    tensorboard_plugin_profile converter is API-incompatible with this
+    image's TF; the xplane proto parse below is what found the
+    56 ms-device vs 5.5 s-wall relay discrepancy — PERF.md.)"""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as fh:
+        xs.ParseFromString(fh.read())
+    for p in xs.planes:
+        n_events = sum(len(ln.events) for ln in p.lines)
+        if not n_events or "TPU" not in p.name:
+            continue
+        print(f"plane {p.name}: {n_events} events")
+        md = {k: v.name for k, v in p.event_metadata.items()}
+        agg = {}
+        for ln in p.lines:
+            for e in ln.events:
+                name = md.get(e.metadata_id, str(e.metadata_id))
+                agg[name] = agg.get(name, 0) + e.duration_ps
+        for name, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {ps / 1e9:10.3f} ms  {name[:100]}")
 
 
 if __name__ == "__main__":

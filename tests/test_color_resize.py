@@ -52,3 +52,29 @@ def test_pad_to_multiple():
     # replicate semantics: padded rows repeat the edge
     np.testing.assert_array_equal(np.asarray(y)[:, 13:, :, :], 1.0)
     assert pad_to_multiple(jnp.ones((1, 16, 20, 3)), 4).shape == (1, 16, 20, 3)
+
+
+def test_uint8_image_boundary_roundtrip(tmp_path, rng):
+    """device_put_image (uint8 upload, on-device normalize) and
+    save_image (on-device uint8 pack) agree with the f32 host path."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from vstnet_tpu.io.image import device_put_image, load_image, save_image
+
+    src = (rng.uniform(size=(24, 32, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(src).save(p)
+
+    f32 = load_image(p)
+    u8 = load_image(p, as_uint8=True)
+    assert u8.dtype == np.uint8
+    dev = device_put_image(u8)
+    np.testing.assert_allclose(np.asarray(dev), f32, atol=1e-6)
+
+    # save a device array: must byte-match the host-side f32 save
+    q1 = str(tmp_path / "dev.png")
+    q2 = str(tmp_path / "host.png")
+    save_image(jnp.asarray(f32), q1)
+    save_image(f32, q2)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(q1)), np.asarray(Image.open(q2)))
