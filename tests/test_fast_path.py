@@ -200,3 +200,27 @@ def test_stylize_fast_agreement(rng):
     got = np.asarray(stylize_masked_fast(fast, c, s, cm, sm, SMALL,
                                          max_labels=4))
     assert psnr(got, ref) >= 40.0
+
+
+def test_stylize_fast_artistic_config(rng):
+    """The fused path serves the ARTISTIC profile too (hidden_dim=64,
+    sp_steps=1 -> 128*4^1-grouped packed latent at 1/4 res; reference
+    image_transfer.py:48). Global fast stylize >= 40 dB vs f32."""
+    from vstnet_tpu.models.pipeline import stylize, stylize_fast
+
+    ART = RevResNetConfig(n_blocks=(2, 2, 2), hidden_dim=64, sp_steps=1)
+    params = init_revresnet(jax.random.PRNGKey(7), ART)
+    fast = rf.pack_revresnet(params, ART, dtype=jnp.bfloat16)
+    c = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+
+    ref = np.asarray(stylize(params, c, s, ART))
+    got = np.asarray(stylize_fast(fast, c, s, ART))
+    mse = float(((got - ref) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    assert psnr >= 40.0, f"artistic fast path PSNR {psnr:.1f} dB"
+
+    # exact fast-path inverse in the artistic layout
+    z = rf.encode_fast(fast, c.astype(jnp.bfloat16), ART)
+    xr = rf.decode_fast(fast, z, ART)
+    assert xr.shape == c.shape
