@@ -218,3 +218,21 @@ def test_half_precision_logits_agree():
     assert cos > 0.99, f"bf16/f32 logit cosine {cos:.4f}"
     m = segment_mask(params, x, half=True)
     assert m.shape == (1, 64, 64) and m.dtype == jnp.int32
+
+
+def test_remap_video_batch_vs_single_style():
+    """The video auto-seg case: a batch of frame masks remapped against
+    ONE style mask (broadcast to the batch — the shapes the video CLI
+    feeds seg.remap). Regression for the b8-content/b1-style crash."""
+    from vstnet_tpu.models.segformer import Segmenter
+
+    rng_l = np.random.default_rng(3)
+    seg = Segmenter(params={}, label_mapping=load_label_mapping())
+    cm = rng_l.integers(0, 150, size=(4, 16, 16)).astype(np.int32)
+    sm = rng_l.integers(0, 150, size=(1, 16, 16)).astype(np.int32)
+    sm_b = np.broadcast_to(sm, (4, 16, 16))
+    out_cm, out_sm = seg.remap(cm, sm_b)
+    assert out_cm.shape == (4, 16, 16)
+    # every remapped content label must exist in the style mask
+    for i in range(4):
+        assert set(np.unique(out_cm[i])) <= set(np.unique(out_sm[i]))

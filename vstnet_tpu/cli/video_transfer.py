@@ -180,7 +180,11 @@ def main(argv=None):
         x = to_device_batch(batch_np)
         if args.auto_seg:
             cm = seg.segment(x)
-            cm, _ = seg.remap(np.asarray(cm), np.asarray(smask))
+            # cross-remap pairs each frame's mask with the (single) style
+            # mask — broadcast it to the frame batch
+            sm_b = np.broadcast_to(np.asarray(smask),
+                                   (x.shape[0], *smask.shape[-2:]))
+            cm, _ = seg.remap(np.asarray(cm), sm_b)
             out = stylize_batch_masked(model.params, x, jnp.asarray(cm),
                                        smask[None] if smask.ndim == 2 else smask)
             return out, n, np.asarray(cm)
