@@ -158,3 +158,25 @@ def test_photo_pipeline_autoseg_batched(small_model, rng):
     out2 = m.photo_pipeline(c, s2)
     assert out2.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_stylize_interp_alpha_traced_no_recompile(small_model, rng):
+    """alpha_c is a traced scalar: an interpolation sweep reuses ONE
+    compiled program (the reference teaser sweeps alpha, README.md:108-120;
+    a static alpha_c would recompile per value)."""
+    from vstnet_tpu.models.pipeline import stylize_interp
+
+    c = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 1, 16, 16, 3)), jnp.float32)
+    alpha_s = jnp.asarray([1.0])
+
+    with jax.log_compiles(False):
+        outs = []
+        n0 = stylize_interp._cache_size()
+        for a in (0.0, 0.25, 0.5, 1.0):
+            outs.append(np.asarray(stylize_interp(
+                small_model.params, c, s, alpha_s, small_model.cfg,
+                alpha_c=a)))
+        assert stylize_interp._cache_size() == n0 + 1
+    # alpha actually changes the output
+    assert not np.allclose(outs[0], outs[-1])

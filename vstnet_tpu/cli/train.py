@@ -77,6 +77,7 @@ def main(argv=None):
         base_name=args.base_name
         or datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S"),
         precision=args.precision,
+        display_size=args.display_size,
         image_display_iter=args.image_display_iter,
         image_save_iter=args.image_save_iter,
         model_save_interval=args.model_save_interval,

@@ -64,12 +64,15 @@ def stylize_masked(
     return decode(params, z_cs, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "alpha_c"))
+@partial(jax.jit, static_argnames=("cfg",))
 def stylize_interp(params, content, styles, alpha_s, cfg: RevResNetConfig,
-                   alpha_c: float = 0.0):
+                   alpha_c=0.0):
     """Multi-style interpolation (+ alpha_c content blend).
 
     styles: (S, B, H, W, 3) stacked style images (same shape).
+    alpha_c is a TRACED scalar — an interpolation sweep (the reference's
+    teaser, README.md:108-120) reuses one compiled program for every
+    alpha instead of recompiling per value.
     """
     z_c = encode(params, content, cfg)
     z_styles = jax.vmap(lambda s: encode(params, s, cfg))(styles)
@@ -184,7 +187,8 @@ def photo_forward_fast(
     the transfer commutes with the final pixel shuffles, so both are
     skipped. Agreement with the f32 photo_forward is PSNR-gated in
     tests/test_fast_path.py (the 40 dB bar of BASELINE.md; measured
-    55.9 dB fused-vs-XLA at 512px on trained-scale weights)."""
+    55.9 dB fused-vs-XLA at 512px on random-init weights — no trained
+    checkpoint ships in this environment; see PERF.md caveat)."""
     from vstnet_tpu.models import revresnet_fast as rf
 
     content_lab = rgb2lab(c_image)

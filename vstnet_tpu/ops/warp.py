@@ -22,10 +22,16 @@ def flow_warp_nearest(x, flow):
     vx = xx - flow[..., 0]
     vy = yy - flow[..., 1]
 
-    # torch grid_sample(align_corners=False) pixel mapping of the
-    # reference's [-1,1] normalization: p = v * S/(S-1) - 0.5
-    px = vx * (w / max(w - 1, 1)) - 0.5
-    py = vy * (h / max(h - 1, 1)) - 0.5
+    # Replicate the reference's exact float sequence so tie positions
+    # (x.5) round identically: normalize to [-1, 1] with /(S-1)
+    # (TemporalLoss.py:27-28), then torch's align_corners=False
+    # unnormalize ((g+1)*S - 1)/2. One fused p = v*S/(S-1) - 0.5 is the
+    # same real number but not the same float32, and round-half-even then
+    # diverges at ties (bit-parity tested vs torch in tests/test_warp.py).
+    gx = 2.0 * vx / max(w - 1, 1) - 1.0
+    gy = 2.0 * vy / max(h - 1, 1) - 1.0
+    px = ((gx + 1.0) * w - 1.0) * 0.5
+    py = ((gy + 1.0) * h - 1.0) * 0.5
 
     ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
     iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)

@@ -102,6 +102,22 @@ class InfiniteLoader:
                             path = self.files[int(rng.integers(len(self.files)))]
                 self._q.put(np.stack(batch))
 
+    def sample(self, n: int) -> np.ndarray:
+        """n random dataset crops, loaded synchronously — the reference
+        draws `--display_size` fresh random images for its sample grids
+        (train.py:222-224) rather than reusing the current batch."""
+        batch = []
+        for i in self.rng.integers(0, len(self.files), size=n):
+            path = self.files[int(i)]
+            for _ in range(5):
+                try:
+                    batch.append(
+                        _load_crop(path, self.new_size, self.crop, self.rng))
+                    break
+                except OSError:
+                    path = self.files[int(self.rng.integers(len(self.files)))]
+        return np.stack(batch)
+
     def __iter__(self) -> Iterator[np.ndarray]:
         return self
 

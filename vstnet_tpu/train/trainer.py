@@ -39,6 +39,7 @@ class TrainConfig:
     logs_directory: str = "logs"
     base_name: str = "run"
     log_every: int = 10
+    display_size: int = 16
     image_display_iter: int = 1000
     image_save_iter: int = 10_000
     model_save_interval: int = 10_000
@@ -348,9 +349,11 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
             write_loss_log(logs_dir, msg)
 
         if it % tc.image_display_iter == 0 or it == end:
-            _write_samples(state, tc, a, b, img_dir, "train_current.jpg")
+            da, db = _display_batches(loader_a, loader_b, tc, a, b)
+            _write_samples(state, tc, da, db, img_dir, "train_current.jpg")
         if it % tc.image_save_iter == 0:
-            _write_samples(state, tc, a, b, img_dir, f"train_{it:08d}.jpg")
+            da, db = _display_batches(loader_a, loader_b, tc, a, b)
+            _write_samples(state, tc, da, db, img_dir, f"train_{it:08d}.jpg")
             write_html(logs_dir, it, tc.image_save_iter)
         if it % tc.model_save_interval == 0:
             save_checkpoint(state, ckpt_dir, "last.pt")
@@ -382,6 +385,18 @@ def _sample_outputs(params, a, b, cfg):
     z2 = _enc(params, stylized, cfg)
     rec = _dec(params, _cwct.transfer(z2, z_c), cfg)
     return stylized, rec
+
+
+def _display_batches(loader_a, loader_b, tc, a, b):
+    """display_size random dataset images for the sample grids
+    (train.py:222-224); falls back to the current batch when the loaders
+    can't sample (e.g. synthetic-batch tests driving train_step directly)."""
+    try:
+        da = jnp.asarray(loader_a.sample(tc.display_size))
+        db = jnp.asarray(loader_b.sample(tc.display_size))
+        return da, db
+    except Exception:
+        return a, b
 
 
 def _write_samples(state, tc, a, b, img_dir, name):
