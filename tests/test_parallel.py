@@ -143,3 +143,57 @@ def test_parallel_flat_step_matches_single(devices_ok, rng):
     assert np.mean(np.abs(f2n - refn)) < 1e-6
     np.testing.assert_allclose(np.asarray(aux), np.asarray(aux_ref),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_parallel_fused_stylize_matches_single(rng, monkeypatch):
+    """The flagship composition: fused bf16 flat-Pallas stylize sharded
+    over the data axis (shard_map) equals the single-device fused path.
+    Pallas runs in interpret mode on the CPU mesh, exactly as the
+    fast-path parity tests do."""
+    import vstnet_tpu.ops.coupling_flat as cflat
+    import vstnet_tpu.models.revresnet_fast as rf
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.parallel import parallel_stylize_fused
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    orig = cflat.fused_coupling_flat
+
+    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
+                interpret=False):
+        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
+                    interpret=True)
+
+    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
+    monkeypatch.setattr(rf, "fused_coupling_flat", patched)
+
+    params = init_revresnet(jax.random.PRNGKey(5), SMALL)
+    fast = rf.pack_revresnet(params, SMALL)  # f32 on CPU: exact comparison
+    c_lat = SMALL.latent_channels
+
+    frames = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)), jnp.float32)
+    style = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+    zs = rf.encode_fast(fast, style, SMALL, packed_latent=True)
+    ls, mu_s = cwct.style_factors_packed(zs, c_lat)
+
+    # single-device fused reference
+    zp = rf.encode_fast(fast, frames, SMALL, packed_latent=True)
+    z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
+    ref = np.clip(np.asarray(
+        rf.decode_fast(fast, z_cs, SMALL, packed_latent=True)), 0.0, 1.0)
+
+    mesh = make_mesh(8, axes=("data",))
+    fn = parallel_stylize_fused(mesh, SMALL)
+    with mesh:
+        out = fn(fast, shard_batch(mesh, frames), ls, mu_s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+    # uint8 variant: same pixels, device-side pack
+    fn8 = parallel_stylize_fused(mesh, SMALL, out_u8=True)
+    with mesh:
+        out8 = fn8(fast, shard_batch(mesh, frames), ls, mu_s)
+    assert out8.dtype == jnp.uint8
+    np.testing.assert_allclose(np.asarray(out8),
+                               np.round(ref * 255.0).astype(np.uint8),
+                               atol=1)

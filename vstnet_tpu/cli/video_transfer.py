@@ -5,9 +5,18 @@ streaming pipeline:
   * the style image is encoded and Cholesky-factored ONCE (the reference
     re-encodes the style inside the frame loop, video_transfer.py:195);
   * frames run through one jitted encode->transfer->decode program in
-    batches of --batch (frames are independent at inference — SURVEY §3.2 —
-    so batching is pure data parallelism and feeds the MXU);
-  * host decode (PIL/JPEG) overlaps device compute via async dispatch.
+    batches (frames are independent at inference — SURVEY §3.2 — so
+    batching is pure data parallelism and feeds the MXU);
+  * ALL local devices are used by default: frames are sharded over a
+    'data' mesh and each chip runs the fused bf16 flat-Pallas path on its
+    shard (parallel/sharding.py:parallel_stylize_fused) — the v5e-8
+    aggregate-throughput composition;
+  * auto-seg runs IN-GRAPH: segment -> self/cross label remap -> masked
+    cWCT compile into the same program as the stylize, so the masked path
+    keeps the same 2-batches-in-flight async dispatch as the global path
+    (no host round trip per batch);
+  * host decode (PIL/JPEG) overlaps device compute via async dispatch,
+    with uint8 arrays at both device boundaries.
 
 No mp4 encoder exists in this environment; .mp4 outputs are written as
 MJPEG .avi (the reference's own seg-debug format) with a notice.
@@ -35,7 +44,8 @@ def build_parser():
     p.add_argument("--alpha_c", type=float, default=None)
     p.add_argument("--fps", type=int, default=10)
     p.add_argument("--batch", type=int, default=8,
-                   help="frames per device step")
+                   help="frames per device step (scaled by the local "
+                        "device count when >1 chip is visible)")
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "f32"],
                    help="bf16 runs the fused Pallas fast path (>=55 dB "
@@ -71,6 +81,16 @@ def main(argv=None):
         model = StyleModel.random_init(mode=args.mode)
     cfg = model.cfg
 
+    # ----- device topology: use every local chip ------------------------
+    n_dev = jax.local_device_count()
+    mesh = None
+    if n_dev > 1:
+        from vstnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_dev, axes=("data",))
+        print(f"data-parallel over {n_dev} local devices")
+    batch_total = args.batch * max(n_dev, 1)
+
     frames_iter, n_frames, src_fps = read_frames(args.video)
     first = next(frames_iter)
     h0, w0 = first.shape[:2]
@@ -87,6 +107,12 @@ def main(argv=None):
     use_fast = (args.precision == "bf16" and not args.auto_seg
                 and args.alpha_c is None
                 and jax.default_backend() != "cpu")  # Pallas needs the TPU
+
+    def _to_u8(x):
+        """Device-side uint8 pack: 4x less readback than f32 frames (the
+        host link is the video bottleneck — PERF.md)."""
+        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
     if use_fast:
         from vstnet_tpu.models import revresnet_fast as rf
 
@@ -94,27 +120,36 @@ def main(argv=None):
                                         dtype=jnp.bfloat16)
         c_lat = cfg.latent_channels
 
-        @jax.jit
-        def stylize_batch_fast(fp, frames):
-            zp = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg,
-                                packed_latent=True)
-            z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
-            out = rf.decode_fast(fp, z_cs, cfg, packed_latent=True)
-            return _to_u8(out.astype(jnp.float32))
+        if mesh is not None:
+            from vstnet_tpu.parallel import parallel_stylize_fused
+
+            _sharded_fast = parallel_stylize_fused(mesh, cfg, out_u8=True)
+
+            def stylize_batch_fast(fp, frames):
+                return _sharded_fast(fp, frames, ls, mu_s)
+        else:
+            @jax.jit
+            def stylize_batch_fast(fp, frames):
+                zp = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg,
+                                    packed_latent=True)
+                z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
+                out = rf.decode_fast(fp, z_cs, cfg, packed_latent=True)
+                return _to_u8(out.astype(jnp.float32))
 
     smask = None
     seg = None
     if args.auto_seg:
-        from vstnet_tpu.models.segformer import Segmenter
+        from vstnet_tpu.models.remapping import (
+            cross_remapping,
+            self_remapping,
+        )
+        from vstnet_tpu.models.segformer import Segmenter, segment_mask
 
         seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
                              label_mapping=args.label_mapping)
+        # style mask: segmented + self-remapped ONCE
         smask = seg.segment(jnp.asarray(style))
-
-    def _to_u8(x):
-        """Device-side uint8 pack: 4x less readback than f32 frames (the
-        host link is the video bottleneck — PERF.md)."""
-        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        smask = self_remapping(smask, seg.label_mapping, args.min_ratio)
 
     @jax.jit
     def stylize_batch(params, frames):
@@ -126,13 +161,31 @@ def main(argv=None):
             z_cs = cwct.transfer_with_factors(z_c, ls, mu_s)
         return _to_u8(decode(params, z_cs, cfg))
 
+    if mesh is not None and not use_fast and args.alpha_c is None \
+            and not args.auto_seg:
+        # standard-path global transfer over all chips
+        from vstnet_tpu.parallel import parallel_stylize_factored
+
+        _sharded_std = parallel_stylize_factored(mesh, cfg)
+
+        def stylize_batch(params, frames):  # noqa: F811
+            return _to_u8(_sharded_std(params, frames, ls, mu_s))
+
     @jax.jit
-    def stylize_batch_masked(params, frames, cmasks, smask_b):
+    def stylize_batch_masked(params, frames):
+        """Segment -> remap -> masked cWCT -> decode, ONE program: the
+        per-frame auto-seg flow of the reference (video_transfer.py:163-184)
+        with the label remapping in-graph (models/remapping.py is pure
+        JAX), so the masked path keeps async dispatch — nothing touches
+        the host until the writer drains the batch."""
+        cm = segment_mask(seg.params, frames)
+        cm = self_remapping(cm, seg.label_mapping, args.min_ratio)
+        sm_b = jnp.broadcast_to(smask, (frames.shape[0], *smask.shape[-2:]))
+        cm = cross_remapping(cm, sm_b, seg.label_mapping)
         z_c = encode(params, frames, cfg)
-        sm = jnp.broadcast_to(smask_b, (frames.shape[0], *smask_b.shape[1:]))
         z_ss = jnp.broadcast_to(z_s, (frames.shape[0], *z_s.shape[1:]))
-        z_cs = cwct.transfer_masked(z_c, z_ss, cmasks, sm)
-        return _to_u8(decode(params, z_cs, cfg))
+        z_cs = cwct.transfer_masked(z_c, z_ss, cm, sm_b)
+        return _to_u8(decode(params, z_cs, cfg)), cm
 
     vname = os.path.splitext(os.path.basename(args.video))[0]
     sname = os.path.splitext(os.path.basename(args.style))[0]
@@ -166,7 +219,12 @@ def main(argv=None):
         return resize_bilinear(batch_u8.astype(jnp.float32) / 255.0, h, w)
 
     def to_device_batch(batch_np):
-        return _prep(jnp.asarray(np.stack(batch_np)))
+        x = np.stack(batch_np)
+        if mesh is not None:
+            from vstnet_tpu.parallel import shard_batch
+
+            return _prep(shard_batch(mesh, x))
+        return _prep(jnp.asarray(x))
 
     t0 = time.time()
     done = 0
@@ -175,26 +233,19 @@ def main(argv=None):
 
     def flush(batch_np):
         n = len(batch_np)
-        while len(batch_np) < args.batch:  # pad to static shape
+        while len(batch_np) < batch_total:  # pad to static shape
             batch_np.append(batch_np[-1])
         x = to_device_batch(batch_np)
         if args.auto_seg:
-            cm = seg.segment(x)
-            # cross-remap pairs each frame's mask with the (single) style
-            # mask — broadcast it to the frame batch
-            sm_b = np.broadcast_to(np.asarray(smask),
-                                   (x.shape[0], *smask.shape[-2:]))
-            cm, _ = seg.remap(np.asarray(cm), sm_b)
-            out = stylize_batch_masked(model.params, x, jnp.asarray(cm),
-                                       smask[None] if smask.ndim == 2 else smask)
-            return out, n, np.asarray(cm)
+            out, cm = stylize_batch_masked(model.params, x)
+            return out, n, cm
         if use_fast:
             return stylize_batch_fast(fast_params, x), n, None
         return stylize_batch(model.params, x), n, None
 
     for frame in frame_stream():
         batch_np.append(frame)
-        if len(batch_np) == args.batch:
+        if len(batch_np) == batch_total:
             pending.append(flush(batch_np))
             batch_np = []
         while len(pending) > 2:  # keep 2 batches in flight
@@ -219,6 +270,8 @@ def main(argv=None):
 def _drain(item, writer, label_writer, color_writer, palette):
     out, n, cm = item
     arr = np.asarray(out)  # blocks on device
+    if cm is not None:
+        cm = np.asarray(cm)
     for i in range(n):
         writer.write(arr[i])
         if cm is not None and label_writer is not None:

@@ -5,6 +5,8 @@ from vstnet_tpu.parallel.sharding import (  # noqa: F401
     spatial_sharded,
     shard_batch,
     parallel_stylize,
+    parallel_stylize_factored,
+    parallel_stylize_fused,
     make_parallel_flat_step,
     make_parallel_train_step,
 )

@@ -84,6 +84,53 @@ def parallel_stylize_factored(mesh: Mesh, cfg: RevResNetConfig,
 
 
 # ---------------------------------------------------------------------------
+# Data-parallel FUSED inference (the north-star composition: the bf16 flat
+# Pallas path x all chips. Frames are embarrassingly parallel — SURVEY §3.2 —
+# so the program has ZERO collectives: each device runs the fused kernels on
+# its local frame shard against replicated weights/style factors. shard_map
+# (not bare GSPMD annotations) because XLA cannot partition a pallas_call
+# custom-call; per-device batch shards keep the kernel grid untouched.)
+# ---------------------------------------------------------------------------
+
+def parallel_stylize_fused(mesh: Mesh, cfg: RevResNetConfig,
+                           out_u8: bool = False):
+    """Compiled stylize(fast_params, frames, ls, mu_s) with frames sharded
+    over 'data' and the fused flat-Pallas encode/decode + packed-latent
+    cWCT running per-shard (models/revresnet_fast.py; the workload of the
+    reference frame loop, /root/reference/video_transfer.py:160-214).
+
+    fast_params: pack_revresnet(..., dtype=bf16) pytree, replicated.
+    ls/mu_s: one precomputed style factor (batch 1), replicated.
+    frames: (B, H, W, 3) float in [0,1]; B must divide by the data axis.
+    out_u8=True packs the output to uint8 on-device (4x less readback).
+    """
+    from vstnet_tpu.models import revresnet_fast as rf
+
+    c_lat = cfg.latent_channels
+
+    def local_fn(fast_params, frames, ls, mu_s):
+        # compute in the packed-weight dtype (bf16 in production; f32 in
+        # the exactness tests)
+        dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
+        zp = rf.encode_fast(fast_params, frames.astype(dt), cfg,
+                            packed_latent=True)
+        z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
+        out = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        if out_u8:
+            return jnp.round(out * 255.0).astype(jnp.uint8)
+        return out
+
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,  # pallas_call has no replication rule
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel training
 # ---------------------------------------------------------------------------
 
