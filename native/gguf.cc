@@ -30,8 +30,9 @@ constexpr uint32_t kMagic = 0x46554747;  // 'GGUF'
 constexpr uint32_t kVersion = 3;
 constexpr uint64_t kDefaultAlign = 32;
 
-// ggml dtype ids we support
-enum GgmlType : uint32_t { GGML_F32 = 0, GGML_F16 = 1 };
+// ggml dtype ids we support (Q8_0: 32-element blocks of f16 scale + 32
+// int8 quants — the common quantized interop format beyond f16)
+enum GgmlType : uint32_t { GGML_F32 = 0, GGML_F16 = 1, GGML_Q8_0 = 8 };
 
 // gguf metadata value types
 enum GgufKvType : uint32_t {
@@ -241,6 +242,19 @@ int32_t gguf_tensor_f32(void* h, int64_t i, float* out) {
   if (ti.type == GGML_F16) {
     const uint16_t* s = reinterpret_cast<const uint16_t*>(src);
     for (uint64_t k = 0; k < n; k++) out[k] = f16_to_f32(s[k]);
+    return 0;
+  }
+  if (ti.type == GGML_Q8_0) {
+    // block = f16 scale + 32 int8; x = d * q
+    if (n % 32 != 0) return -1;
+    for (uint64_t blk = 0; blk < n / 32; blk++) {
+      const uint8_t* b = src + blk * 34;
+      uint16_t dh;
+      std::memcpy(&dh, b, 2);
+      float d = f16_to_f32(dh);
+      const int8_t* q = reinterpret_cast<const int8_t*>(b + 2);
+      for (int k = 0; k < 32; k++) out[blk * 32 + k] = d * (float)q[k];
+    }
     return 0;
   }
   return -1;

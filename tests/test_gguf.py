@@ -75,3 +75,33 @@ def test_revresnet_gguf_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gguf_q8_0_roundtrip(tmp_path, rng):
+    """Q8_0 (32-block f16 scale + int8) read/write: ~0.4% quantization
+    error; both the Python and native codecs dequantize it."""
+    from vstnet_tpu.io.gguf import read_gguf, write_gguf, _read_python
+
+    t = {
+        "w": rng.standard_normal((8, 64)).astype(np.float32),
+        "b": (rng.standard_normal(32) * 10).astype(np.float32),
+    }
+    p = str(tmp_path / "q.gguf")
+    write_gguf(p, t, dtype="q8_0")
+
+    for reader in (read_gguf, _read_python):
+        back = reader(p)
+        for k, v in t.items():
+            assert back[k].shape == v.shape
+            scale = np.abs(v).max() / 127.0
+            np.testing.assert_allclose(back[k], v, atol=scale * 16)
+            err = np.abs(back[k] - v).mean() / (np.abs(v).mean() + 1e-9)
+            assert err < 0.01, f"{k}: mean rel err {err}"
+
+
+def test_gguf_q8_0_rejects_bad_size(tmp_path, rng):
+    from vstnet_tpu.io.gguf import write_gguf
+
+    with pytest.raises(ValueError, match="32"):
+        write_gguf(str(tmp_path / "x.gguf"),
+                   {"w": np.ones(33, np.float32)}, dtype="q8_0")

@@ -197,3 +197,69 @@ def test_parallel_fused_stylize_matches_single(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out8),
                                np.round(ref * 255.0).astype(np.uint8),
                                atol=1)
+
+
+def test_parallel_flat_step_sequence_and_bf16(devices_ok, rng):
+    """N data-parallel steps track the single-device flat trainer, and the
+    signature-compatible step serves bf16 + temporal-phase variants (the
+    trainer swaps make_flat_step for this one under --data_parallel)."""
+    import optax
+    from jax.flatten_util import ravel_pytree
+    from vstnet_tpu.models.vgg import init_vgg
+    from vstnet_tpu.parallel import make_parallel_flat_step
+    from vstnet_tpu.train.losses import LossWeights, loss_and_grads_flat
+    from vstnet_tpu.train.trainer import TrainConfig, make_optimizer
+
+    mesh = make_mesh(8, axes=("data",))
+    tc = TrainConfig()
+    opt = make_optimizer(tc)
+    weights = LossWeights(lap=10.0, temporal=60.0)
+    params = init_revresnet(jax.random.PRNGKey(4), SMALL)
+    vggp = init_vgg(jax.random.PRNGKey(5))
+    flat0, unravel = ravel_pytree(params)
+    flat0_np = np.asarray(flat0)  # the parallel step DONATES its input
+
+    batches = [
+        (jnp.asarray(rng.uniform(size=(8, 16, 16, 3)), jnp.float32),
+         jnp.asarray(rng.uniform(size=(8, 16, 16, 3)), jnp.float32))
+        for _ in range(3)
+    ]
+    flow = jnp.zeros((8, 16, 16, 2))
+    noise = jnp.zeros((8, 16, 16, 3))
+
+    # single-device reference sequence
+    ref = np.asarray(flat0)
+    ref_state = opt.init(flat0)
+    for a, b in batches:
+        g, _ = loss_and_grads_flat(jnp.asarray(ref), unravel, vggp, a, b,
+                                   flow, noise, SMALL, weights, False)
+        upd, ref_state = opt.update(g, ref_state, jnp.asarray(ref))
+        ref = np.asarray(optax.apply_updates(jnp.asarray(ref), upd))
+
+    step = make_parallel_flat_step(mesh, opt, SMALL, weights, unravel)
+    f = jnp.asarray(flat0_np)
+    st = opt.init(f)
+    with mesh:
+        for a, b in batches:
+            f, st, aux = step(f, st, vggp, shard_batch(mesh, a),
+                              shard_batch(mesh, b), shard_batch(mesh, flow),
+                              shard_batch(mesh, noise))
+        jax.block_until_ready(f)
+    np.testing.assert_allclose(np.asarray(f), ref, rtol=1e-4, atol=3e-4)
+    assert np.mean(np.abs(np.asarray(f) - ref)) < 1e-5
+
+    # bf16 + temporal-phase step: runs, stays finite, grads flow
+    step16 = make_parallel_flat_step(mesh, opt, SMALL, weights, unravel,
+                                     compute_dtype=jnp.bfloat16)
+    a, b = batches[0]
+    fl = jnp.asarray(rng.normal(size=(8, 16, 16, 2)) * 2, jnp.float32)
+    nz = jnp.asarray(rng.normal(size=(8, 16, 16, 3)) * 1e-3, jnp.float32)
+    f0 = jnp.asarray(flat0_np)
+    with mesh:
+        f2, _, aux = step16(f0, opt.init(f0), vggp,
+                            shard_batch(mesh, a), shard_batch(mesh, b),
+                            shard_batch(mesh, fl), shard_batch(mesh, nz),
+                            True)
+        jax.block_until_ready(f2)
+    assert np.isfinite(np.asarray(f2)).all()
+    assert not np.allclose(np.asarray(f2), flat0_np)

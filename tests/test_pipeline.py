@@ -180,3 +180,49 @@ def test_stylize_interp_alpha_traced_no_recompile(small_model, rng):
         assert stylize_interp._cache_size() == n0 + 1
     # alpha actually changes the output
     assert not np.allclose(outs[0], outs[-1])
+
+
+def test_cli_ultra_regional_and_interp(tmp_path, monkeypatch):
+    """Ultra-res CLI modes above --ultra_threshold: regional (manual segs)
+    and alpha_c interpolation both route through the streaming tiler
+    (the round-2 hard error is gone)."""
+    import vstnet_tpu.models.pipeline as pl
+    from PIL import Image
+
+    from vstnet_tpu.cli.image_transfer import main
+
+    monkeypatch.setattr(pl, "PHOTO_CONFIG", SMALL)
+    rng = np.random.default_rng(3)
+    Image.fromarray((rng.uniform(size=(96, 96, 3)) * 255).astype(np.uint8)
+                    ).save(tmp_path / "c.png")
+    Image.fromarray((rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+                    ).save(tmp_path / "s.png")
+    # two-tone manual segmentation images (grayscale labels)
+    cm = np.zeros((96, 96), np.uint8)
+    cm[:, 48:] = 1
+    sm = np.zeros((64, 64), np.uint8)
+    sm[:, 32:] = 1
+    Image.fromarray(cm).save(tmp_path / "cseg.png")
+    Image.fromarray(sm).save(tmp_path / "sseg.png")
+
+    out = main([
+        "--content", str(tmp_path / "c.png"),
+        "--style", str(tmp_path / "s.png"),
+        "--content_seg", str(tmp_path / "cseg.png"),
+        "--style_seg", str(tmp_path / "sseg.png"),
+        "--out_dir", str(tmp_path / "o1"),
+        "--max_size", "96", "--ultra_threshold", "64",
+        "--tile", "64", "--overlap", "16",
+    ])
+    assert os.path.exists(out)
+    assert Image.open(out).size == (96, 96)
+
+    out2 = main([
+        "--content", str(tmp_path / "c.png"),
+        "--style", str(tmp_path / "s.png"),
+        "--alpha_c", "0.5",
+        "--out_dir", str(tmp_path / "o2"),
+        "--max_size", "96", "--ultra_threshold", "64",
+        "--tile", "64", "--overlap", "16",
+    ])
+    assert os.path.exists(out2)

@@ -274,3 +274,62 @@ def test_bf16_mixed_precision_step(rng):
     assert cos > 0.95, f"bf16/f32 gradient cosine {cos:.4f}"
     np.testing.assert_allclose(np.asarray(aux16), np.asarray(aux32),
                                rtol=0.1, atol=5e-3)
+
+
+def test_train_loop_data_parallel(tmp_path, rng, monkeypatch):
+    """CLI-level data-parallel training: train() over the 8-device mesh
+    (global batch = batch_size x devices), reference loss.log line format
+    unchanged, checkpoints written."""
+    import vstnet_tpu.train.trainer as tr
+    from PIL import Image
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(tr, "PHOTO_CONFIG", SMALL)
+
+    for name in ("content", "style"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(4):
+            Image.fromarray(
+                (rng.uniform(size=(40, 40, 3)) * 255).astype(np.uint8)
+            ).save(d / f"{i}.png")
+
+    from vstnet_tpu.train.losses import LossWeights
+    from vstnet_tpu.train.trainer import TrainConfig, train
+
+    tc = TrainConfig(
+        batch_size=1, new_size=32, crop_size=32, log_every=1,
+        display_size=2, weights=LossWeights(lap=10.0, temporal=0.0),
+        logs_directory=str(tmp_path / "logs"), base_name="dp",
+    )
+    vggp = init_vgg(jax.random.PRNGKey(9))
+    state = train(tc, str(tmp_path / "content"), str(tmp_path / "style"),
+                  vggp, max_steps=2, loader_workers=1, data_parallel="on")
+    assert state.step == 2
+    assert np.isfinite(np.asarray(state.flat)).all()
+
+    log = (tmp_path / "logs" / "dp" / "loss.log").read_text()
+    assert "Iteration: 00000001/" in log and "style_loss:" in log
+    assert (tmp_path / "logs" / "dp" / "checkpoints" / "last.pt").exists()
+
+
+def test_loader_smaller_dataset_than_batch(tmp_path, rng):
+    """Datasets smaller than one batch wrap with replacement instead of
+    hanging (the reference's InfiniteSampler wraps too)."""
+    from PIL import Image
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            (rng.uniform(size=(20, 20, 3)) * 255).astype(np.uint8)
+        ).save(d / f"{i}.png")
+
+    from vstnet_tpu.train.data import InfiniteLoader
+
+    loader = InfiniteLoader(str(d), batch_size=5, new_size=16, crop=16,
+                            num_workers=1)
+    batch = next(loader)
+    loader.close()
+    assert batch.shape == (5, 16, 16, 3)

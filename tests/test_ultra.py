@@ -67,3 +67,103 @@ def test_tiled_practical_overlap(rng):
     assert np.isfinite(tiled).all()
     psnr = _psnr(tiled, whole)
     assert psnr > 30.0, f"practical tiled PSNR {psnr:.1f} dB"
+
+
+def test_tiled_masked_matches_whole_image(rng):
+    """Regional streaming statistics: per-label moments accumulated across
+    tile-owned regions == whole-image masked transfer (exact-regime
+    overlap)."""
+    from vstnet_tpu.models.pipeline import stylize_masked
+
+    cfg = TINY
+    rf = ultra.receptive_field(cfg)
+    params = init_revresnet(jax.random.PRNGKey(2), cfg)
+    c = jnp.asarray(rng.uniform(size=(1, 192, 160, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 96, 96, 3)), jnp.float32)
+    # blocky labels so every region clears the min-pixel validity rule
+    cm = jnp.asarray(
+        (np.add.outer(np.arange(192) // 96, np.arange(160) // 80))[None],
+        jnp.int32)
+    sm = jnp.asarray(
+        (np.add.outer(np.arange(96) // 48, np.arange(96) // 48))[None],
+        jnp.int32)
+
+    whole = np.asarray(stylize_masked(params, c, s, cm, sm, cfg,
+                                      max_labels=4))
+    tiled = np.asarray(ultra.stylize_tiled_masked(
+        params, c, s, cm, sm, cfg, tile=160, overlap=rf + (-rf) % 4,
+        max_labels=4))
+    psnr = _psnr(tiled, whole)
+    assert psnr > 55.0, f"exact-regime masked tiled PSNR {psnr:.1f} dB"
+
+
+def test_tiled_masked_practical_overlap(rng):
+    from vstnet_tpu.models.pipeline import stylize_masked
+
+    cfg = TINY
+    params = init_revresnet(jax.random.PRNGKey(3), cfg)
+    c = jnp.asarray(rng.uniform(size=(1, 192, 192, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 96, 96, 3)), jnp.float32)
+    cm = jnp.asarray((np.add.outer(np.arange(192) // 96,
+                                   np.arange(192) // 96))[None], jnp.int32)
+    sm = jnp.asarray((np.add.outer(np.arange(96) // 48,
+                                   np.arange(96) // 48))[None], jnp.int32)
+
+    whole = np.asarray(stylize_masked(params, c, s, cm, sm, cfg,
+                                      max_labels=4))
+    tiled = np.asarray(ultra.stylize_tiled_masked(
+        params, c, s, cm, sm, cfg, tile=96, overlap=24, max_labels=4))
+    assert np.isfinite(tiled).all()
+    psnr = _psnr(tiled, whole)
+    assert psnr > 30.0, f"practical masked tiled PSNR {psnr:.1f} dB"
+
+
+def test_tiled_interp_matches_whole_image(rng):
+    """alpha_c interpolation through the tiler == whole-image
+    stylize_interp (exact-regime overlap)."""
+    from vstnet_tpu.models.pipeline import stylize_interp
+
+    cfg = TINY
+    rf = ultra.receptive_field(cfg)
+    params = init_revresnet(jax.random.PRNGKey(4), cfg)
+    c = jnp.asarray(rng.uniform(size=(1, 192, 160, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 96, 96, 3)), jnp.float32)
+
+    whole = np.asarray(stylize_interp(
+        params, c, s[None], jnp.asarray([1.0]), cfg, alpha_c=0.4))
+    tiled = np.asarray(ultra.stylize_tiled_interp(
+        params, c, [s], jnp.asarray([1.0]), cfg, alpha_c=0.4,
+        tile=160, overlap=rf + (-rf) % 4))
+    psnr = _psnr(tiled, whole)
+    assert psnr > 55.0, f"exact-regime interp tiled PSNR {psnr:.1f} dB"
+
+
+def test_tiled_fast_path_routing(rng, monkeypatch):
+    """fast_params routes tile encode/decode through the fused flat
+    kernels (interpret mode on CPU, f32 pack => near-exact vs the
+    standard tiled path)."""
+    import vstnet_tpu.models.revresnet_fast as rfm
+    import vstnet_tpu.ops.coupling_flat as cflat
+
+    orig = cflat.fused_coupling_flat
+
+    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
+                interpret=False):
+        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
+                    interpret=True)
+
+    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
+    monkeypatch.setattr(rfm, "fused_coupling_flat", patched)
+
+    cfg = TINY
+    params = init_revresnet(jax.random.PRNGKey(5), cfg)
+    fast = rfm.pack_revresnet(params, cfg)  # f32: exact comparison
+    c = jnp.asarray(rng.uniform(size=(1, 96, 96, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+
+    ref = np.asarray(ultra.stylize_tiled(params, c, s, cfg, tile=64,
+                                         overlap=16))
+    got = np.asarray(ultra.stylize_tiled(params, c, s, cfg, tile=64,
+                                         overlap=16, fast_params=fast))
+    psnr = _psnr(got, ref)
+    assert psnr > 55.0, f"fast-tiled vs tiled PSNR {psnr:.1f} dB"

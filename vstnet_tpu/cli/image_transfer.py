@@ -87,6 +87,27 @@ def main(argv=None):
     content = load_image(args.content, args.max_size, ds, as_uint8=True)
     style = load_image(args.style, args.max_size, ds, as_uint8=True)
 
+    # segmenter capacity (reference: MAX 1024, segment.py:477): huge images
+    # are segmented on a downscaled copy, then the mask is nearest-
+    # upsampled — labels are resolution-stable.
+    SEG_MAX = 1024
+
+    def _segment_capped(seg, img_u8):
+        h0, w0 = img_u8.shape[1:3]
+        x = device_put_image(img_u8)
+        if max(h0, w0) > SEG_MAX:
+            from vstnet_tpu.ops.resize import resize_bilinear
+
+            f = SEG_MAX / max(h0, w0)
+            nh = max(int(h0 * f) // 4 * 4, 4)
+            nw = max(int(w0 * f) // 4 * 4, 4)
+            import jax
+
+            m = seg.segment(resize_bilinear(x, nh, nw))
+            return np.asarray(jax.image.resize(
+                m, (1, h0, w0), method="nearest"))
+        return np.asarray(seg.segment(x))
+
     cmask = smask = None
     if args.auto_seg:
         from vstnet_tpu.models.segformer import Segmenter
@@ -97,8 +118,8 @@ def main(argv=None):
         # casts + f32-layernorm roundtrips). See PERF.md.
         seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
                              label_mapping=args.label_mapping)
-        cmask = np.asarray(seg.segment(device_put_image(content)))
-        smask = np.asarray(seg.segment(device_put_image(style)))
+        cmask = _segment_capped(seg, content)
+        smask = _segment_capped(seg, style)
         cmask, smask = seg.remap(cmask, smask)
         _maybe_save_seg(args, cmask, smask)
     elif args.content_seg and args.style_seg:
@@ -108,17 +129,22 @@ def main(argv=None):
     c = device_put_image(content)
     s = device_put_image(style)
     if max(content.shape[1:3]) > args.ultra_threshold:
-        # Ultra-resolution: bounded-memory tiled path (global transfer).
+        # Ultra-resolution: bounded-memory tiled path. All modes are
+        # first-class here (the reference demos ultra-res as such,
+        # README.md:133-138): global, regional (--auto_seg/--content_seg,
+        # streaming per-label statistics), interpolated (--alpha_c), and
+        # the fused bf16 fast path (--fast).
+        import jax
+
+        from vstnet_tpu.models import cwct as _cwct
         from vstnet_tpu.models.cwct import host_check_finite
-        from vstnet_tpu.models.ultra import stylize_tiled
+        from vstnet_tpu.models.ultra import (
+            stylize_tiled,
+            stylize_tiled_interp,
+            stylize_tiled_masked,
+        )
         from vstnet_tpu.ops.resize import resize_bilinear
 
-        if cmask is not None or args.alpha_c is not None:
-            raise SystemExit(
-                "error: --auto_seg/--content_seg/--alpha_c are not "
-                "supported above --ultra_threshold "
-                f"({args.ultra_threshold}px); rerun with a smaller "
-                "--max_size or without segmentation")
         if max(style.shape[1:3]) > args.ultra_threshold:
             sh, sw = style.shape[1:3]
             f = args.ultra_threshold / max(sh, sw)
@@ -127,10 +153,28 @@ def main(argv=None):
             print(f"note: style resized {sh}x{sw} -> {nh}x{nw} for "
                   "factor computation (statistics are scale-stable)")
             s = resize_bilinear(s, nh, nw)
+            if smask is not None:
+                smask = np.asarray(jax.image.resize(
+                    jnp.asarray(smask), (1, nh, nw), method="nearest"))
+        fast_params = model.fast_params if args.fast else None
         print(f"ultra-res: tiling {content.shape[1]}x{content.shape[2]} "
-              f"(tile={args.tile}, overlap={args.overlap})")
-        out = stylize_tiled(model.params, c, s, model.cfg,
-                            tile=args.tile, overlap=args.overlap)
+              f"(tile={args.tile}, overlap={args.overlap}"
+              + (", fused bf16" if args.fast else "") + ")")
+        if cmask is not None:
+            out = stylize_tiled_masked(
+                model.params, c, s, jnp.asarray(cmask), jnp.asarray(smask),
+                model.cfg, tile=args.tile, overlap=args.overlap,
+                max_labels=_cwct.label_capacity(cmask),
+                fast_params=fast_params)
+        elif args.alpha_c is not None:
+            out = stylize_tiled_interp(
+                model.params, c, [s], jnp.asarray([1.0]), model.cfg,
+                alpha_c=float(args.alpha_c), tile=args.tile,
+                overlap=args.overlap, fast_params=fast_params)
+        else:
+            out = stylize_tiled(model.params, c, s, model.cfg,
+                                tile=args.tile, overlap=args.overlap,
+                                fast_params=fast_params)
         host_check_finite(out)
         cn = os.path.splitext(os.path.basename(args.content))[0]
         sn = os.path.splitext(os.path.basename(args.style))[0]

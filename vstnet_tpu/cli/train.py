@@ -41,6 +41,11 @@ def build_parser():
                         "semantics")
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap steps (smoke runs)")
+    p.add_argument("--data_parallel", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="use every local device (mesh over 'data'; loader "
+                        "batch scales by device count). auto = when >1 "
+                        "device is visible")
     return p
 
 
@@ -94,7 +99,7 @@ def main(argv=None):
 
     train(tc, args.train_content, args.train_style, vgg_params,
           resume=args.resume, resume_iter=args.resume_iter,
-          max_steps=args.max_steps)
+          max_steps=args.max_steps, data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ _NATIVE_PATH = os.path.join(
     "libvstnet_gguf.so",
 )
 
-GGML_F32, GGML_F16 = 0, 1
+GGML_F32, GGML_F16, GGML_Q8_0 = 0, 1, 8
 _MAGIC = 0x46554747
 _ALIGN = 32
 
@@ -160,8 +160,20 @@ def _read_python(path: str) -> Dict[str, np.ndarray]:
         elif ttype == GGML_F16:
             arr = np.frombuffer(buf, np.float16, n, data_start + off)
             arr = arr.astype(np.float32)
+        elif ttype == GGML_Q8_0:
+            # block = f16 scale + 32 int8 quants; x = d * q
+            if n % 32:
+                raise ValueError(f"tensor {name}: Q8_0 needs n % 32 == 0")
+            raw = np.frombuffer(buf, np.uint8, (n // 32) * 34,
+                                data_start + off).reshape(n // 32, 34)
+            d = raw[:, :2].copy().view(np.float16).astype(np.float32)
+            q = raw[:, 2:].copy().view(np.int8).astype(np.float32)
+            arr = (d * q).reshape(-1)
         else:
-            raise ValueError(f"tensor {name}: unsupported ggml type {ttype}")
+            raise ValueError(
+                f"tensor {name}: unsupported ggml type {ttype} "
+                "(supported: F32, F16, Q8_0 — the reference loader's own "
+                "scope is f16 models, project/ggml/main.cpp:80)")
         out[name] = arr.reshape(shape)
     return out
 
@@ -172,7 +184,12 @@ def _read_python(path: str) -> Dict[str, np.ndarray]:
 
 def write_gguf(path: str, tensors: Dict[str, np.ndarray],
                dtype: str = "f16"):
-    """Write {name: numpy array} (any float dtype in) as GGUF f16/f32."""
+    """Write {name: numpy array} (any float dtype in) as GGUF
+    f16/f32/q8_0."""
+    if dtype == "q8_0":
+        items = [(k, np.ascontiguousarray(v, np.float32))
+                 for k, v in tensors.items()]
+        return _write_python(path, items, GGML_Q8_0)
     lib = _native()
     ttype = GGML_F16 if dtype == "f16" else GGML_F32
     items = [(k, np.ascontiguousarray(v, np.float32))
@@ -216,7 +233,11 @@ def _write_python(path, items, ttype):
     off = 0
     blobs = []
     for name, v in items:
-        data = (v.astype(np.float16) if ttype == GGML_F16 else v).tobytes()
+        if ttype == GGML_Q8_0:
+            data = _q8_0_quantize(v)
+        else:
+            data = (v.astype(np.float16) if ttype == GGML_F16 else
+                    v).tobytes()
         ws(hdr, name)
         hdr.write(struct.pack("<I", v.ndim))
         for d in reversed(v.shape):
@@ -234,6 +255,24 @@ def _write_python(path, items, ttype):
             p2 = (_ALIGN - len(data) % _ALIGN) % _ALIGN
             f.write(b"\x00" * p2)
     return path
+
+
+def _q8_0_quantize(v: np.ndarray) -> bytes:
+    """f32 -> Q8_0 blocks (ggml block_q8_0: f16 scale d + 32 int8 quants;
+    d = max|x|/127 per block, q = round(x/d))."""
+    flat = v.reshape(-1)
+    if flat.size % 32:
+        raise ValueError("Q8_0 requires element count % 32 == 0 "
+                         f"(got {flat.size})")
+    blocks = flat.reshape(-1, 32)
+    amax = np.abs(blocks).max(axis=1)
+    d = (amax / 127.0).astype(np.float32)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    q = np.round(blocks * inv[:, None]).astype(np.int8)
+    out = np.empty((blocks.shape[0], 34), np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = q.view(np.uint8)
+    return out.tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -365,13 +365,13 @@ def _chunked(x, m, chunk):
     return x.reshape(-1, chunk, c), m.reshape(-1, chunk)
 
 
-def _region_stats(x, m, labels, chunk=REGION_CHUNK, batched=False):
-    """Per-label masked stats in ONE pass over the pixels.
+def region_moments(x, m, labels, chunk=REGION_CHUNK, batched=False):
+    """Per-label raw moments in ONE chunked pass over the pixels.
 
-    x (N, C) f32, m (N,) int32, labels (K,) -> counts (K,), means (K, C),
-    covs (K, C, C) with the same /(n-1) + clamped divisors as
-    _masked_stats. Identical math to the per-label formulation, chunked
-    so the (chunk, K, C) products never exceed a bounded footprint.
+    x (N, C) f32, m (N,) int32, labels (K,) -> counts (K,), sums (K, C),
+    gram (K, C, C). Raw moments (not means/covs) so callers can ACCUMULATE
+    them across streaming passes — the ultra-res tiler adds per-tile
+    moments over tile-owned pixels and finalizes once (models/ultra.py).
     batched=True: leading image axis on x/m (shared scan over images)."""
     if not batched:
         x, m = x[None], m[None]
@@ -399,13 +399,50 @@ def _region_stats(x, m, labels, chunk=REGION_CHUNK, batched=False):
             jnp.zeros((i, k, c), jnp.float32),
             jnp.zeros((i, k, c, c), jnp.float32))
     (cnt, sm, gm), _ = lax.scan(body, init, (xs, ms))
+    if not batched:
+        return cnt[0], sm[0], gm[0]
+    return cnt, sm, gm
+
+
+def stats_from_moments(cnt, sm, gm):
+    """(counts, sums, gram) -> (counts, means, covs) with the /(n-1) +
+    clamped divisors of _masked_stats. Works on any leading batch dims."""
     means = sm / jnp.maximum(cnt, 1.0)[..., None]
     covs = (
         gm - cnt[..., None, None] * means[..., :, None] * means[..., None, :]
     ) / (jnp.maximum(cnt, 2.0) - 1.0)[..., None, None]
-    if not batched:
-        return cnt[0], means[0], covs[0]
     return cnt, means, covs
+
+
+def _region_stats(x, m, labels, chunk=REGION_CHUNK, batched=False):
+    """Per-label masked stats in ONE pass (see region_moments)."""
+    return stats_from_moments(
+        *region_moments(x, m, labels, chunk=chunk, batched=batched))
+
+
+def region_transforms(labels, nc, mean_c, cov_c, ns, mean_s, cov_s,
+                      eps: float = EPS_DEFAULT,
+                      min_pixels: float = MIN_PIXELS,
+                      max_ratio: float = MAX_RATIO_RESEARCH):
+    """Per-label (T, b, valid) from per-label content/style stats, with the
+    reference's region validity rule (both regions >min_pixels, area ratio
+    bounded — cWCT.py:178)."""
+    valids = (
+        (labels >= 0)
+        & (nc > min_pixels)
+        & (ns > min_pixels)
+        & (nc < max_ratio * ns)
+        & (ns < max_ratio * nc)
+    )
+    ts, bs = jax.vmap(
+        lambda mc, cc, ms_, cs: _region_transform(mc, cc, ms_, cs, eps)
+    )(mean_c, cov_c, mean_s, cov_s)
+    return ts, bs, valids
+
+
+def apply_regions(x, m, labels, ts, bs, valids, chunk=REGION_CHUNK):
+    """Public wrapper of the scanned per-region apply (ultra-res tiler)."""
+    return _apply_regions(x, m, labels, ts, bs, valids, chunk=chunk)
 
 
 def _apply_regions(x, m, labels, ts, bs, valids, chunk=REGION_CHUNK):
@@ -449,16 +486,9 @@ def _transfer_seg_single(xc, xs, cmask, smask, eps, max_labels,
     else:
         nc, mean_c, cov_c = _region_stats(xc, cmask, labels)
         ns, mean_s, cov_s = _region_stats(xs, smask, labels)
-    valids = (
-        (labels >= 0)
-        & (nc > min_pixels)
-        & (ns > min_pixels)
-        & (nc < max_ratio * ns)
-        & (ns < max_ratio * nc)
-    )
-    ts, bs = jax.vmap(
-        lambda mc, cc, ms_, cs: _region_transform(mc, cc, ms_, cs, eps)
-    )(mean_c, cov_c, mean_s, cov_s)
+    ts, bs, valids = region_transforms(
+        labels, nc, mean_c, cov_c, ns, mean_s, cov_s, eps,
+        min_pixels, max_ratio)
 
     return _apply_regions(xc, cmask, labels, ts, bs, valids)
 

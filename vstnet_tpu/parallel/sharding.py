@@ -172,7 +172,8 @@ def make_parallel_train_step(mesh: Mesh, opt, cfg: RevResNetConfig, weights,
 
 def make_parallel_flat_step(mesh: Mesh, opt, cfg: RevResNetConfig, weights,
                             unravel, spatial: bool = False,
-                            temporal_phase: bool = False):
+                            temporal_phase: bool = False,
+                            compute_dtype=None):
     """The flat-buffer production step (train/trainer.py:make_flat_step)
     over a device mesh: batch sharded on 'data' (optionally rows on
     'spatial'), the single raveled master vector and optimizer moments
@@ -180,8 +181,12 @@ def make_parallel_flat_step(mesh: Mesh, opt, cfg: RevResNetConfig, weights,
     over the flat vector — the ideal ICI collective shape (vs ~100
     per-leaf reductions for a tree step).
 
-    Returns step(flat, opt_state, vgg_params, a, b, flow, noise)
-    -> (flat', opt_state', aux_stack).
+    Signature-compatible with make_flat_step so the trainer can swap
+    steps: returns step(flat, opt_state, vgg_params, a, b, flow, noise,
+    temporal_phase=...) -> (flat', opt_state', aux_stack). The
+    constructor-level temporal_phase sets the default; compute_dtype =
+    jnp.bfloat16 gives the mixed-precision step (f32 master vector,
+    bf16 convs).
     """
     import optax
 
@@ -189,17 +194,22 @@ def make_parallel_flat_step(mesh: Mesh, opt, cfg: RevResNetConfig, weights,
 
     data_sh = spatial_sharded(mesh) if spatial else batch_sharded(mesh)
     rep = replicated(mesh)
+    default_temporal = temporal_phase
 
+    # temporal_phase is a positional static arg (pjit rejects kwargs when
+    # in_shardings is given)
     @partial(
         jax.jit,
+        static_argnums=(7,),
         in_shardings=(rep, rep, rep, data_sh, data_sh, data_sh, data_sh),
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )
-    def step(flat, opt_state, vgg_params, a, b, flow, noise):
+    def step(flat, opt_state, vgg_params, a, b, flow, noise,
+             temporal_phase=default_temporal):
         grads, aux_stack = loss_and_grads_flat(
             flat, unravel, vgg_params, a, b, flow, noise, cfg, weights,
-            temporal_phase)
+            temporal_phase, compute_dtype=compute_dtype)
         updates, opt_state = opt.update(grads, opt_state, flat)
         return optax.apply_updates(flat, updates), opt_state, aux_stack
 

@@ -86,6 +86,11 @@ class InfiniteLoader:
         rng = np.random.default_rng(seed)
         while not self._stop.is_set():
             idx = rng.permutation(len(self.files))
+            if len(idx) < self.batch_size:
+                # dataset smaller than a batch (the reference's
+                # InfiniteSampler also wraps): draw with replacement
+                idx = rng.integers(0, len(self.files),
+                                   size=self.batch_size)
             for start in range(0, len(idx) - self.batch_size + 1,
                                self.batch_size):
                 if self._stop.is_set():

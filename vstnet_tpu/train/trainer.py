@@ -280,20 +280,34 @@ def write_html(logs_dir: str, iterations: int, image_save_iter: int):
 
 def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
           resume: bool = False, resume_iter: int = -1,
-          max_steps: Optional[int] = None, loader_workers: int = 4):
-    """The reference train.py loop. `max_steps` caps the run (for tests)."""
+          max_steps: Optional[int] = None, loader_workers: int = 4,
+          data_parallel: str = "auto"):
+    """The reference train.py loop. `max_steps` caps the run (for tests).
+
+    data_parallel: "auto" uses every local device when more than one is
+    visible (mesh over 'data', loader batch scaled by the device count,
+    the flat gradient all-reduced as ONE fused collective); "on" requires
+    >1 device; "off" forces single-device. loss.log format is unchanged
+    (losses are global-batch means either way).
+    """
     from vstnet_tpu.ops.warp import generate_fake_flow
     from vstnet_tpu.train.data import InfiniteLoader
+
+    n_dev = jax.local_device_count()
+    if data_parallel == "on" and n_dev < 2:
+        raise ValueError(f"--data_parallel on: only {n_dev} device visible")
+    use_dp = data_parallel in ("auto", "on") and n_dev > 1
+    batch = tc.batch_size * (n_dev if use_dp else 1)
 
     logs_dir = os.path.join(tc.logs_directory, tc.base_name)
     ckpt_dir = os.path.join(logs_dir, "checkpoints")
     img_dir = os.path.join(logs_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
 
-    loader_a = InfiniteLoader(content_dir, tc.batch_size, tc.new_size,
+    loader_a = InfiniteLoader(content_dir, batch, tc.new_size,
                               tc.crop_size, num_workers=loader_workers,
                               seed=tc.seed)
-    loader_b = InfiniteLoader(style_dir, tc.batch_size, tc.new_size,
+    loader_b = InfiniteLoader(style_dir, batch, tc.new_size,
                               tc.crop_size, num_workers=loader_workers,
                               seed=tc.seed + 1000)
 
@@ -303,7 +317,29 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
         print(f"Resume from {ckpt_dir}/last.pt at iter {state.step}")
     else:
         state, opt = init_flat_train_state(tc)
-    step_fn = make_flat_step(tc, opt, state.unravel)
+
+    mesh = None
+    if use_dp:
+        from vstnet_tpu.parallel import make_mesh, make_parallel_flat_step
+        from vstnet_tpu.parallel import shard_batch as _shard
+
+        mesh = make_mesh(n_dev, axes=("data",))
+        print(f"data-parallel training over {n_dev} devices "
+              f"(global batch {batch})")
+        pstep = make_parallel_flat_step(
+            mesh, opt, tc.model_cfg, tc.weights, state.unravel,
+            compute_dtype=(jnp.bfloat16 if tc.precision.lower() == "bf16"
+                           else None))
+
+        def step_fn(flat, opt_state, vggp, a, b, flow, noise,
+                    temporal_phase=False):
+            with mesh:
+                return pstep(flat, opt_state, vggp,
+                             _shard(mesh, a), _shard(mesh, b),
+                             _shard(mesh, flow), _shard(mesh, noise),
+                             temporal_phase)
+    else:
+        step_fn = make_flat_step(tc, opt, state.unravel)
 
     host_rng = np.random.default_rng(tc.seed + 7)
     noise_key = jax.random.PRNGKey(tc.seed + 13)
