@@ -42,34 +42,41 @@ def main():
         zp = rf.encode_fast(fast, style, cfg, packed_latent=True)
         return cwct.style_factors_packed(zp, c_lat)
 
+    ITERS = 16
+
     @jax.jit
-    def stylize_frames(fast, frames, ls, mu_s):
-        zp = rf.encode_fast(fast, frames, cfg, packed_latent=True)
-        z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
-        return jnp.clip(
-            rf.decode_fast(fast, z_cs, cfg, packed_latent=True), 0.0, 1.0)
+    def stylize_chain(fast, frames, ls, mu_s):
+        """ITERS stylize round trips INSIDE one compiled program
+        (lax.fori_loop): one host dispatch regardless of iteration count,
+        so per-dispatch RPC latency (measured up to ~1 s/dispatch on a
+        congested relay day — it does NOT pipeline) cannot contaminate the
+        throughput number. The carried frames change every iteration, so
+        nothing folds away."""
+        def body(_, x):
+            zp = rf.encode_fast(fast, x, cfg, packed_latent=True)
+            z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
+            out = rf.decode_fast(fast, z_cs, cfg, packed_latent=True)
+            return jnp.clip(out, 0.0, 1.0).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, ITERS, body, frames)
 
     ls, mu_s = factors(fast, style)
 
     # Honest timing: on the axon relay, block_until_ready acks before real
-    # execution; chain iterations (output -> next input) and fence with a
-    # host readback (vstnet_tpu/runtime/timing.py).
+    # execution; fence with a host readback (vstnet_tpu/runtime/timing.py).
     best = 0.0
     best_batch = 0
     for batch in (128, 256):  # sweep knees measured in PERF.md
         frames = jnp.asarray(
             rng.uniform(size=(batch, 512, 512, 3)), dtype)
-        out = stylize_frames(fast, frames, ls, mu_s)
+        out = stylize_chain(fast, frames, ls, mu_s)
         _ = np.asarray(out[0, 0, :4, 0])  # compile + warm + fence
 
-        iters = 8
         t0 = time.perf_counter()
-        x = frames
-        for _ in range(iters):
-            x = stylize_frames(fast, x, ls, mu_s)
+        x = stylize_chain(fast, frames, ls, mu_s)
         _ = np.asarray(x[0, 0, :4, 0])
         dt = time.perf_counter() - t0
-        fps = batch * iters / dt
+        fps = batch * ITERS / dt
         if fps > best:
             best, best_batch = fps, batch
 

@@ -7,8 +7,11 @@ fence (the relay acks block_until_ready early — runtime/timing.py).
 Usage: python scripts/bench_fast_breakdown.py [batch]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -114,7 +117,7 @@ def main():
             preferred_element_type=jnp.float32))(xs)
         return xs, p[:, :, : l_lanes - 2 * s].astype(dt)
 
-    t_dot = timeit(lambda p: dots_only(p[0]), (xs3, None))
+    t_dot = timeit(lambda p: dots_only(p[0]), (xs3, None), chain=False)
     print(f"  conv1 dot alone:   {t_dot/batch*1e6:.1f} us/frame")
 
     # shift-stack alone (2 shifted copies + selects)
@@ -128,7 +131,7 @@ def main():
             lambda xx: _shift_stack(xx, pos, w, cf.col_offset(w)))(x[0])
         return x, out.astype(dt)
 
-    t_st = timeit(lambda p: stack_only(p), (x2,))
+    t_st = timeit(lambda p: stack_only(p), (x2,), chain=False)
     print(f"  shift stack alone: {t_st/batch*1e6:.1f} us/frame")
 
 

@@ -226,3 +226,34 @@ def test_cli_ultra_regional_and_interp(tmp_path, monkeypatch):
         "--tile", "64", "--overlap", "16",
     ])
     assert os.path.exists(out2)
+
+
+def test_image_photo_predict_glob(tmp_path, monkeypatch):
+    """image_photo_predict accepts a glob pattern string — the reference
+    demo.py calling convention (project/demo.py:3)."""
+    import vstnet_tpu.models.pipeline as pl
+    from PIL import Image
+
+    monkeypatch.setattr(pl, "PHOTO_CONFIG", SMALL)
+    rng = np.random.default_rng(4)
+    for i in range(2):
+        Image.fromarray(
+            (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+        ).save(tmp_path / f"c{i}.jpg")
+    Image.fromarray(
+        (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+    ).save(tmp_path / "s.jpg")
+
+    from vstnet_tpu.models.pipeline import image_photo_predict
+
+    outs = image_photo_predict(str(tmp_path / "c*.jpg"),
+                               str(tmp_path / "s.jpg"),
+                               str(tmp_path / "out"))
+    assert len(outs) == 2 and all(os.path.exists(p) for p in outs)
+    # triptych: [content | style | output]
+    img = Image.open(outs[0])
+    assert img.size == (96, 32)
+
+    with pytest.raises(FileNotFoundError):
+        image_photo_predict(str(tmp_path / "zzz*.jpg"),
+                            str(tmp_path / "s.jpg"), str(tmp_path / "out"))

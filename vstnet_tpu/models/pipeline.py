@@ -350,12 +350,22 @@ def image_photo_predict(content_files, style_file, output_dir: str,
                         checkpoint: Optional[str] = None):
     """Batch predict in the spirit of image_style.image_photo_predict
     (/root/reference/project/image_style/__init__.py:97-127): writes
-    [content | style | output] triptychs per input."""
+    [content | style | output] triptychs per input. content_files may be
+    a glob pattern string (the reference's demo.py calling convention) or
+    a list of paths."""
     import os
 
     import numpy as np
 
     from vstnet_tpu.io.image import load_image, save_image
+
+    if isinstance(content_files, str):
+        import glob as _glob
+
+        pattern = content_files
+        content_files = sorted(_glob.glob(pattern))
+        if not content_files:
+            raise FileNotFoundError(f"no content images match {pattern!r}")
 
     model = create_photo_style_model(checkpoint)
     os.makedirs(output_dir, exist_ok=True)
