@@ -97,49 +97,105 @@ def _dec(weights, z, cfg, fast: bool):
     return decode(weights, z, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "fast"))
-def _tile_moments(weights, tile_img, own_mask, cfg: RevResNetConfig,
-                  fast: bool = False):
-    """Encode one tile; masked latent moments over the owned region.
-    own_mask: (h_lat, w_lat) f32 in {0,1}. Returns (n, s1 (C,), s2 (C,C))."""
-    z = _enc(weights, tile_img, cfg, fast)[0].astype(jnp.float32)
-    zm = z * own_mask[..., None]
-    n = jnp.sum(own_mask)
-    s1 = jnp.sum(zm, axis=(0, 1))
-    s2 = jnp.einsum("hwc,hwd->cd", zm, z,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+# Tiles per device dispatch. Pass 1 and pass 2 each run in
+# ceil(n_tiles / TILE_BATCH) dispatches: the tile slicing, the network,
+# the moment accumulation, AND the overlap blending all happen in-graph
+# (round 2 dispatched one program per tile plus host-side .at[].add
+# blends — dispatch-bound through any host link).
+TILE_BATCH = 4
+
+
+def _slice_tiles(content, y0s, x0s, th: int, tw: int):
+    """content (1, H, W, 3), y0s/x0s (T,) traced -> (T, th, tw, 3)."""
+    return jax.vmap(lambda y0, x0: jax.lax.dynamic_slice(
+        content[0], (y0, x0, 0), (th, tw, 3)))(y0s, x0s)
+
+
+@partial(jax.jit, static_argnames=("cfg", "th", "tw", "fast"),
+         donate_argnums=(4,))
+def _moments_chunk(weights, content, y0s, x0s, acc, owns,
+                   cfg: RevResNetConfig, th: int, tw: int,
+                   fast: bool = False):
+    """One dispatch: encode a batch of tiles and add their owned-region
+    latent moments to the carried accumulators. owns: (T, h_lat, w_lat)
+    f32 in {0,1} (all-zero rows pad the tail chunk harmlessly)."""
+    tiles = _slice_tiles(content, y0s, x0s, th, tw)
+    z = _enc(weights, tiles, cfg, fast).astype(jnp.float32)
+    zm = z * owns[..., None]
+    n, s1, s2 = acc
+    n = n + jnp.sum(owns)
+    s1 = s1 + jnp.sum(zm, axis=(0, 1, 2))
+    s2 = s2 + jnp.einsum("bhwc,bhwd->cd", zm, z,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     return n, s1, s2
 
 
-@partial(jax.jit, static_argnames=("cfg", "fast"))
-def _tile_stylize(weights, tile_img, t, b, cfg: RevResNetConfig,
-                  fast: bool = False):
-    z = _enc(weights, tile_img, cfg, fast)
-    return _dec(weights, cwct.apply_transform(z, t, b), cfg, fast)
+@partial(jax.jit, static_argnames=("cfg", "th", "tw", "sc", "fast"),
+         donate_argnums=(4,))
+def _moments_chunk_masked(weights, content, y0s, x0s, acc, owns, cm_lat,
+                          labels, cfg: RevResNetConfig, th: int, tw: int,
+                          sc: int, fast: bool = False):
+    """Per-label variant: non-owned pixels take label -2 (match nothing),
+    then one chunked-scan pass per tile batch (cwct.region_moments)."""
+    tiles = _slice_tiles(content, y0s, x0s, th, tw)
+    z = _enc(weights, tiles, cfg, fast).astype(jnp.float32)
+    t_count, c = z.shape[0], z.shape[-1]
+    m_tiles = jax.vmap(lambda y0, x0: jax.lax.dynamic_slice(
+        cm_lat, (y0 // sc, x0 // sc), (th // sc, tw // sc)))(y0s, x0s)
+    m = jnp.where(owns > 0, m_tiles, -2).reshape(t_count, -1)
+    cnt, sm, gm = cwct.region_moments(
+        z.reshape(t_count, -1, c), m.astype(jnp.int32), labels,
+        batched=True)
+    a_cnt, a_sm, a_gm = acc
+    return (a_cnt + cnt.sum(0), a_sm + sm.sum(0), a_gm + gm.sum(0))
 
 
-@partial(jax.jit, static_argnames=("cfg", "fast"))
-def _tile_moments_masked(weights, tile_img, own_mask, mask_lat, labels,
-                         cfg: RevResNetConfig, fast: bool = False):
-    """Per-label raw moments over the tile's OWNED region: non-owned
-    pixels take label -2 (matches nothing), then one chunked-scan pass
-    (cwct.region_moments) — bounded footprint at any tile size."""
-    z = _enc(weights, tile_img, cfg, fast)[0].astype(jnp.float32)
-    x = z.reshape(-1, z.shape[-1])
-    m = jnp.where(own_mask.reshape(-1) > 0, mask_lat.reshape(-1), -2)
-    return cwct.region_moments(x, m.astype(jnp.int32), labels)
+def _blend_loop(o, wts, y0s, x0s, out, wsum, th: int, tw: int):
+    """Accumulate a batch of stylized tiles into the (H, W) canvases
+    in-graph (raised-cosine weights; wt=0 rows pad the tail chunk)."""
+    def body(i, carry):
+        out, wsum = carry
+        y0, x0 = y0s[i], x0s[i]
+        patch = jax.lax.dynamic_slice(out, (y0, x0, 0), (th, tw, 3))
+        out = jax.lax.dynamic_update_slice(
+            out, patch + o[i].astype(jnp.float32) * wts[i], (y0, x0, 0))
+        wp = jax.lax.dynamic_slice(wsum, (y0, x0, 0), (th, tw, 1))
+        wsum = jax.lax.dynamic_update_slice(wsum, wp + wts[i], (y0, x0, 0))
+        return out, wsum
+
+    return jax.lax.fori_loop(0, o.shape[0], body, (out, wsum))
 
 
-@partial(jax.jit, static_argnames=("cfg", "fast"))
-def _tile_stylize_masked(weights, tile_img, mask_lat, labels, ts, bs,
-                         valids, cfg: RevResNetConfig, fast: bool = False):
-    z = _enc(weights, tile_img, cfg, fast)
+@partial(jax.jit, static_argnames=("cfg", "th", "tw", "fast"),
+         donate_argnums=(7, 8))
+def _stylize_chunk(weights, content, y0s, x0s, wts, t, b, out, wsum,
+                   cfg: RevResNetConfig, th: int, tw: int,
+                   fast: bool = False):
+    tiles = _slice_tiles(content, y0s, x0s, th, tw)
+    z = _enc(weights, tiles, cfg, fast)
+    o = _dec(weights, cwct.apply_transform(z, t, b), cfg, fast)
+    return _blend_loop(o, wts, y0s, x0s, out, wsum, th, tw)
+
+
+@partial(jax.jit, static_argnames=("cfg", "th", "tw", "sc", "fast"),
+         donate_argnums=(9, 10))
+def _stylize_chunk_masked(weights, content, y0s, x0s, wts, cm_lat, labels,
+                          tsb, valids, out, wsum, cfg: RevResNetConfig,
+                          th: int, tw: int, sc: int, fast: bool = False):
+    ts, bs = tsb
+    tiles = _slice_tiles(content, y0s, x0s, th, tw)
+    z = _enc(weights, tiles, cfg, fast)
     sh = z.shape
-    x = z[0].reshape(-1, sh[-1]).astype(jnp.float32)
-    y = cwct.apply_regions(x, mask_lat.reshape(-1).astype(jnp.int32),
-                           labels, ts, bs, valids)
-    return _dec(weights, y.reshape(sh).astype(z.dtype), cfg, fast)
+    m_tiles = jax.vmap(lambda y0, x0: jax.lax.dynamic_slice(
+        cm_lat, (y0 // sc, x0 // sc), (th // sc, tw // sc)))(y0s, x0s)
+    x = z.reshape(sh[0], -1, sh[-1]).astype(jnp.float32)
+    y = jax.vmap(
+        lambda xx, mm: cwct.apply_regions(
+            xx, mm.reshape(-1).astype(jnp.int32), labels, ts, bs, valids)
+    )(x, m_tiles)
+    o = _dec(weights, y.reshape(sh).astype(z.dtype), cfg, fast)
+    return _blend_loop(o, wts, y0s, x0s, out, wsum, th, tw)
 
 
 class _TileGrid:
@@ -180,16 +236,34 @@ class _TileGrid:
         own[oy0:oy1, ox0:ox1] = 1.0
         return own
 
-    def blend(self, out, wsum, o, y0, x0):
-        wy = jnp.asarray(_ramp(self.th, self.overlap, y0 == 0,
-                               y0 + self.th == self.h))
-        wx = jnp.asarray(_ramp(self.tw, self.overlap, x0 == 0,
-                               x0 + self.tw == self.w))
-        wt = (wy[:, None] * wx[None, :])[..., None]
-        out = out.at[y0:y0 + self.th, x0:x0 + self.tw].add(
-            o.astype(jnp.float32) * wt)
-        wsum = wsum.at[y0:y0 + self.th, x0:x0 + self.tw].add(wt)
-        return out, wsum
+    def tile_weight(self, y0, x0):
+        wy = _ramp(self.th, self.overlap, y0 == 0, y0 + self.th == self.h)
+        wx = _ramp(self.tw, self.overlap, x0 == 0, x0 + self.tw == self.w)
+        return (wy[:, None] * wx[None, :])[..., None]
+
+    def chunks(self, tile_batch: int = TILE_BATCH):
+        """Tile-batch assembly: (y0s, x0s, owns, wts) device arrays per
+        chunk of `tile_batch` tiles; the tail chunk is padded with repeats
+        of the last tile carrying ZERO ownership and blend weight, so
+        padded slots contribute nothing to either pass."""
+        items = list(self.tiles())
+        for c0 in range(0, len(items), tile_batch):
+            chunk = items[c0:c0 + tile_batch]
+            y0s, x0s, owns, wts = [], [], [], []
+            for iy, y0, ix, x0 in chunk:
+                y0s.append(y0)
+                x0s.append(x0)
+                owns.append(self.own_mask(iy, y0, ix, x0))
+                wts.append(self.tile_weight(y0, x0))
+            for _ in range(tile_batch - len(chunk)):
+                y0s.append(y0s[-1])
+                x0s.append(x0s[-1])
+                owns.append(np.zeros_like(owns[-1]))
+                wts.append(np.zeros_like(wts[-1]))
+            yield (jnp.asarray(np.asarray(y0s, np.int32)),
+                   jnp.asarray(np.asarray(x0s, np.int32)),
+                   jnp.asarray(np.stack(owns)),
+                   jnp.asarray(np.stack(wts)))
 
 
 def _pick_weights(params, fast_params):
@@ -198,14 +272,17 @@ def _pick_weights(params, fast_params):
 
 def stylize_tiled(params, content, style, cfg: RevResNetConfig,
                   tile: int = 1024, overlap: int = 128,
-                  eps: float = cwct.EPS_DEFAULT, fast_params=None):
+                  eps: float = cwct.EPS_DEFAULT, fast_params=None,
+                  tile_batch: int = TILE_BATCH):
     """Global-cWCT stylization of an arbitrarily large content image.
 
     content: (1, H, W, 3) NHWC (H, W multiples of cfg.down_scale);
     style: (1, Hs, Ws, 3) encoded whole. Returns (1, H, W, 3) raw decoder
     output (research semantics; caller clamps). fast_params routes tile
     encode/decode through the fused bf16 flat-Pallas path (statistics
-    stay f32).
+    stay f32). Tiles run `tile_batch` per dispatch; everything — slicing,
+    network, moment accumulation, blending — stays on device, so only the
+    final image crosses the host link.
     """
     _, h, w, _ = content.shape
     g = _TileGrid(h, w, cfg, tile, overlap)
@@ -216,33 +293,25 @@ def stylize_tiled(params, content, style, cfg: RevResNetConfig,
     ls, mu_s = ls[0], mu_s[0]
 
     # pass 1: streaming latent moments over owned regions
-    n_tot = jnp.zeros((), jnp.float32)
-    s1_tot = jnp.zeros((cfg.latent_channels,), jnp.float32)
-    s2_tot = jnp.zeros((cfg.latent_channels,) * 2, jnp.float32)
-    for iy, y0, ix, x0 in g.tiles():
-        t_img = jax.lax.dynamic_slice(
-            content, (0, y0, x0, 0), (1, g.th, g.tw, 3))
-        own = g.own_mask(iy, y0, ix, x0)
-        n, s1, s2 = _tile_moments(weights, t_img, jnp.asarray(own), cfg,
-                                  fast)
-        n_tot = n_tot + n
-        s1_tot = s1_tot + s1
-        s2_tot = s2_tot + s2
+    acc = (jnp.zeros((), jnp.float32),
+           jnp.zeros((cfg.latent_channels,), jnp.float32),
+           jnp.zeros((cfg.latent_channels,) * 2, jnp.float32))
+    for y0s, x0s, owns, _ in g.chunks(tile_batch):
+        acc = _moments_chunk(weights, content, y0s, x0s, acc, owns, cfg,
+                             g.th, g.tw, fast)
 
+    n_tot, s1_tot, s2_tot = acc
     mean_c = s1_tot / n_tot
     cov_c = (s2_tot - n_tot * jnp.outer(mean_c, mean_c)) / (n_tot - 1.0)
     t_mat, b_vec = cwct.transform_from_stats(mean_c, cov_c, ls, mu_s, eps)
 
-    # pass 2: transform + decode + blend. The accumulators live ON DEVICE
-    # (per-tile f32 readbacks dominated 4K wall time through slow host
-    # links; only the final image crosses to the host — PERF.md).
+    # pass 2: transform + decode + in-graph blend
     out = jnp.zeros((h, w, 3), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
-    for _, y0, _, x0 in g.tiles():
-        t_img = jax.lax.dynamic_slice(
-            content, (0, y0, x0, 0), (1, g.th, g.tw, 3))
-        o = _tile_stylize(weights, t_img, t_mat, b_vec, cfg, fast)[0]
-        out, wsum = g.blend(out, wsum, o, y0, x0)
+    for y0s, x0s, _, wts in g.chunks(tile_batch):
+        out, wsum = _stylize_chunk(weights, content, y0s, x0s, wts,
+                                   t_mat, b_vec, out, wsum, cfg,
+                                   g.th, g.tw, fast)
     return (out / wsum)[None]
 
 
@@ -252,7 +321,8 @@ def stylize_tiled_masked(params, content, style, cmask, smask,
                          eps: float = cwct.EPS_DEFAULT,
                          min_pixels: float = cwct.MIN_PIXELS,
                          max_ratio: float = cwct.MAX_RATIO_RESEARCH,
-                         fast_params=None):
+                         fast_params=None,
+                         tile_batch: int = TILE_BATCH):
     """Regional (semantic-mask) stylization of an arbitrarily large image:
     the reference's first-class ultra-res mode with segmentation
     (README.md:133-138 + cWCT._transfer_seg, models/cWCT.py:49-109), as a
@@ -291,42 +361,34 @@ def stylize_tiled_masked(params, content, style, cmask, smask,
     # pass 1: streaming per-label content moments over owned regions
     k = labels.shape[0]
     c = cfg.latent_channels
-    cnt = jnp.zeros((k,), jnp.float32)
-    sm_tot = jnp.zeros((k, c), jnp.float32)
-    gm_tot = jnp.zeros((k, c, c), jnp.float32)
-    for iy, y0, ix, x0 in g.tiles():
-        t_img = jax.lax.dynamic_slice(
-            content, (0, y0, x0, 0), (1, g.th, g.tw, 3))
-        m_tile = jax.lax.dynamic_slice(
-            cm_lat, (y0 // sc, x0 // sc), (g.th // sc, g.tw // sc))
-        own = jnp.asarray(g.own_mask(iy, y0, ix, x0))
-        n1, s1, g1 = _tile_moments_masked(weights, t_img, own, m_tile,
-                                          labels, cfg, fast)
-        cnt, sm_tot, gm_tot = cnt + n1, sm_tot + s1, gm_tot + g1
+    acc = (jnp.zeros((k,), jnp.float32),
+           jnp.zeros((k, c), jnp.float32),
+           jnp.zeros((k, c, c), jnp.float32))
+    for y0s, x0s, owns, _ in g.chunks(tile_batch):
+        acc = _moments_chunk_masked(weights, content, y0s, x0s, acc, owns,
+                                    cm_lat, labels, cfg, g.th, g.tw, sc,
+                                    fast)
 
-    nc, mean_c, cov_c = cwct.stats_from_moments(cnt, sm_tot, gm_tot)
+    nc, mean_c, cov_c = cwct.stats_from_moments(*acc)
     ts, bs, valids = cwct.region_transforms(
         labels, nc, mean_c, cov_c, ns, mean_s, cov_s, eps,
         float(min_pixels), max_ratio)
 
-    # pass 2: per-region transform + decode + blend
+    # pass 2: per-region transform + decode + in-graph blend
     out = jnp.zeros((h, w, 3), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
-    for _, y0, _, x0 in g.tiles():
-        t_img = jax.lax.dynamic_slice(
-            content, (0, y0, x0, 0), (1, g.th, g.tw, 3))
-        m_tile = jax.lax.dynamic_slice(
-            cm_lat, (y0 // sc, x0 // sc), (g.th // sc, g.tw // sc))
-        o = _tile_stylize_masked(weights, t_img, m_tile, labels, ts, bs,
-                                 valids, cfg, fast)[0]
-        out, wsum = g.blend(out, wsum, o, y0, x0)
+    for y0s, x0s, _, wts in g.chunks(tile_batch):
+        out, wsum = _stylize_chunk_masked(
+            weights, content, y0s, x0s, wts, cm_lat, labels, (ts, bs),
+            valids, out, wsum, cfg, g.th, g.tw, sc, fast)
     return (out / wsum)[None]
 
 
 def stylize_tiled_interp(params, content, styles, alpha_s,
                          cfg: RevResNetConfig, alpha_c: float = 0.0,
                          tile: int = 1024, overlap: int = 128,
-                         eps: float = cwct.EPS_DEFAULT, fast_params=None):
+                         eps: float = cwct.EPS_DEFAULT, fast_params=None,
+                         tile_batch: int = TILE_BATCH):
     """Style interpolation (+ alpha_c content blend) at ultra resolution:
     mix_Ls = sum_i alpha_i Ls_i blended with Lc by alpha_c
     (cWCT.interpolation semantics, models/cWCT.py:206-262) applied through
@@ -349,16 +411,13 @@ def stylize_tiled_interp(params, content, styles, alpha_s,
     mix_ls = sum(a * l for a, l in zip(alpha_s, ls_list))
     mix_mu = sum(a * m for a, m in zip(alpha_s, mu_list))
 
-    n_tot = jnp.zeros((), jnp.float32)
-    s1_tot = jnp.zeros((cfg.latent_channels,), jnp.float32)
-    s2_tot = jnp.zeros((cfg.latent_channels,) * 2, jnp.float32)
-    for iy, y0, ix, x0 in g.tiles():
-        t_img = jax.lax.dynamic_slice(
-            content, (0, y0, x0, 0), (1, g.th, g.tw, 3))
-        own = g.own_mask(iy, y0, ix, x0)
-        n, s1, s2 = _tile_moments(weights, t_img, jnp.asarray(own), cfg,
-                                  fast)
-        n_tot, s1_tot, s2_tot = n_tot + n, s1_tot + s1, s2_tot + s2
+    acc = (jnp.zeros((), jnp.float32),
+           jnp.zeros((cfg.latent_channels,), jnp.float32),
+           jnp.zeros((cfg.latent_channels,) * 2, jnp.float32))
+    for y0s, x0s, owns, _ in g.chunks(tile_batch):
+        acc = _moments_chunk(weights, content, y0s, x0s, acc, owns, cfg,
+                             g.th, g.tw, fast)
+    n_tot, s1_tot, s2_tot = acc
 
     mean_c = s1_tot / n_tot
     cov_c = (s2_tot - n_tot * jnp.outer(mean_c, mean_c)) / (n_tot - 1.0)
@@ -370,11 +429,10 @@ def stylize_tiled_interp(params, content, styles, alpha_s,
 
     out = jnp.zeros((h, w, 3), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
-    for _, y0, _, x0 in g.tiles():
-        t_img = jax.lax.dynamic_slice(
-            content, (0, y0, x0, 0), (1, g.th, g.tw, 3))
-        o = _tile_stylize(weights, t_img, t_mat, b_vec, cfg, fast)[0]
-        out, wsum = g.blend(out, wsum, o, y0, x0)
+    for y0s, x0s, _, wts in g.chunks(tile_batch):
+        out, wsum = _stylize_chunk(weights, content, y0s, x0s, wts,
+                                   t_mat, b_vec, out, wsum, cfg,
+                                   g.th, g.tw, fast)
     return (out / wsum)[None]
 
 
