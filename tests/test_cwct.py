@@ -197,6 +197,84 @@ def test_transfer_masked_invalid_regions_passthrough(rng):
     np.testing.assert_allclose(out, c, atol=1e-6)
 
 
+def test_transfer_masked_factored_matches_unfactored(rng):
+    """The masked-video fast path precomputes the style side once
+    (style_region_factors) and runs content-only moments per frame
+    (transfer_masked_factored). When every content label appears in the
+    style label set — what cross_remapping guarantees — the result must
+    match transfer_masked."""
+    from vstnet_tpu.models.cwct import (
+        style_region_factors,
+        transfer_masked_factored,
+    )
+
+    b, h, w, c = 3, 12, 12, 8
+    style_labels = np.array([2, 9, 21, 76], np.int32)
+    xc = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    xs1 = rng.standard_normal((1, h, w, c)).astype(np.float32)
+    r = np.random.default_rng(5)
+    # content labels drawn FROM the style label set (post-cross-remap
+    # invariant); per-frame subsets differ
+    cm = r.choice(style_labels, size=(b, h, w)).astype(np.int32)
+    sm1 = r.choice(style_labels, size=(1, h, w)).astype(np.int32)
+
+    labels, ns, mean_s, cov_s = style_region_factors(
+        jnp.asarray(xs1), jnp.asarray(sm1), max_labels=8)
+    got = np.asarray(transfer_masked_factored(
+        jnp.asarray(xc), jnp.asarray(cm), labels, ns, mean_s, cov_s))
+
+    xs_b = np.broadcast_to(xs1, (b, h, w, c))
+    sm_b = np.broadcast_to(sm1, (b, h, w))
+    want = np.asarray(transfer_masked(
+        jnp.asarray(xc), jnp.asarray(xs_b), jnp.asarray(cm),
+        jnp.asarray(sm_b), max_labels=8))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_region_moments_bf16_exact(rng):
+    """Moments of a bf16 latent computed in bf16 single-pass form (what
+    the fused masked path runs) must equal the f32 HIGHEST computation on
+    the upcast data: one-hot weights never round, and bf16 products
+    accumulate exactly in f32."""
+    from vstnet_tpu.models.cwct import region_moments
+
+    x16 = jnp.asarray(
+        rng.standard_normal((500, 8)), jnp.float32).astype(jnp.bfloat16)
+    m = jnp.asarray(rng.integers(0, 5, size=(500,)), jnp.int32)
+    labels = jnp.arange(5, dtype=jnp.int32)
+
+    cnt16, sm16, gm16 = region_moments(x16, m, labels, chunk=128)
+    cnt32, sm32, gm32 = region_moments(
+        x16.astype(jnp.float32), m, labels, chunk=128)
+    np.testing.assert_array_equal(np.asarray(cnt16), np.asarray(cnt32))
+    np.testing.assert_allclose(np.asarray(sm16), np.asarray(sm32),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gm16), np.asarray(gm32),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_transfer_masked_factored_foreign_labels_passthrough(rng):
+    """Content labels absent from the style label set (the rare
+    cross-remap fallback case) must pass through as content — the same
+    outcome transfer_masked's ns=0 invalidity produces."""
+    from vstnet_tpu.models.cwct import (
+        style_region_factors,
+        transfer_masked_factored,
+    )
+
+    h = w = 10
+    xc = rng.standard_normal((1, h, w, 4)).astype(np.float32)
+    xs1 = rng.standard_normal((1, h, w, 4)).astype(np.float32)
+    cm = np.full((1, h, w), 137, np.int32)  # not in the style set
+    sm1 = np.zeros((1, h, w), np.int32) + 3
+
+    labels, ns, mean_s, cov_s = style_region_factors(
+        jnp.asarray(xs1), jnp.asarray(sm1), max_labels=8)
+    out = np.asarray(transfer_masked_factored(
+        jnp.asarray(xc), jnp.asarray(cm), labels, ns, mean_s, cov_s))
+    np.testing.assert_allclose(out, xc, atol=1e-6)
+
+
 def test_interpolation_parity_reference(reference_cwct, rng):
     c = rng.standard_normal((1, 8, 16, 12)).astype(np.float32)
     s_list = [

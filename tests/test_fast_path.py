@@ -202,6 +202,102 @@ def test_stylize_fast_agreement(rng):
     assert psnr(got, ref) >= 40.0
 
 
+def test_masked_video_fast_program_agreement(rng):
+    """The exact composition cli/video_transfer.py dispatches per batch on
+    the masked FAST path — composed video_remap -> encode_fast ->
+    transfer_masked_factored (style side precomputed once) -> decode_fast
+    — vs the f32 masked program (sequential remap + transfer_masked),
+    PSNR >= 40 dB."""
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.models.remapping import (
+        cross_remapping,
+        load_label_mapping,
+        self_remapping,
+        video_remap,
+        video_remap_plan,
+    )
+
+    mapping = load_label_mapping()
+    params = init_revresnet(jax.random.PRNGKey(6), SMALL)
+    fast = rf.pack_revresnet(params, SMALL, dtype=jnp.bfloat16)
+
+    b, h, w = 2, 32, 32
+    frames = jnp.asarray(rng.uniform(size=(b, h, w, 3)), jnp.float32)
+    style = jnp.asarray(rng.uniform(size=(1, h, w, 3)), jnp.float32)
+    r = np.random.default_rng(9)
+    cm0 = jnp.asarray(
+        r.choice(np.array([3, 17, 52]), size=(b, h, w)), jnp.int32)
+    sm = jnp.asarray(
+        r.choice(np.array([3, 52, 76]), size=(1, h, w)), jnp.int32)
+    sm = self_remapping(sm, mapping, 0.02)
+
+    # f32 reference program (what --precision f32 runs)
+    cm_ref = cross_remapping(
+        self_remapping(cm0, mapping, 0.02),
+        jnp.broadcast_to(sm, (b, h, w)), mapping)
+    z_c = encode(params, frames, SMALL)
+    z_s = encode(params, style, SMALL)
+    z_ss = jnp.broadcast_to(z_s, (b, *z_s.shape[1:]))
+    z_cs = cwct.transfer_masked(
+        z_c, z_ss, cm_ref, jnp.broadcast_to(sm, (b, h, w)), max_labels=8)
+    ref = np.asarray(decode(params, z_cs, SMALL))
+
+    # fast program (what --precision bf16 runs)
+    in_style, cross_tab = video_remap_plan(sm, mapping)
+    cm_fast = video_remap(cm0, in_style, cross_tab, mapping, 0.02)
+    np.testing.assert_array_equal(np.asarray(cm_fast), np.asarray(cm_ref))
+    z_sf = rf.encode_fast(fast, style.astype(jnp.bfloat16), SMALL)
+    labels, ns, mean_s, cov_s = cwct.style_region_factors(
+        z_sf, sm, max_labels=8)
+    z_cf = rf.encode_fast(fast, frames.astype(jnp.bfloat16), SMALL)
+    z_csf = cwct.transfer_masked_factored(
+        z_cf, cm_fast, labels, ns, mean_s, cov_s)
+    got = np.asarray(
+        rf.decode_fast(fast, z_csf.astype(jnp.bfloat16), SMALL))
+
+    mse = float(((got.astype(np.float64) - ref) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    assert psnr >= 40.0, f"masked video fast program PSNR {psnr:.1f} dB"
+
+
+def test_interp_packed_matches_interpolation(rng):
+    """The fused --alpha_c video path: interp_with_factors_packed on the
+    packed latent (style factored once, alpha_c traced) must equal
+    cwct.interpolation on the shuffled latent — the exact program
+    cli/video_transfer.py dispatches per batch when --alpha_c is set with
+    --precision bf16. f32 throughout for exact comparison."""
+    from vstnet_tpu.models import cwct
+
+    params = init_revresnet(jax.random.PRNGKey(7), SMALL)
+    fast = rf.pack_revresnet(params, SMALL)
+    c_lat = SMALL.latent_channels
+    frames = jnp.asarray(rng.uniform(size=(2, 16, 16, 3)), jnp.float32)
+    style = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+
+    zp_s = rf.encode_fast(fast, style, SMALL, packed_latent=True)
+    ls_p, mu_p = cwct.style_factors_packed(zp_s, c_lat)
+    zp_c = rf.encode_fast(fast, frames, SMALL, packed_latent=True)
+
+    z_c = encode(params, frames, SMALL)
+    z_s = encode(params, style, SMALL)
+
+    for alpha_c in (0.0, 0.35, 1.0):
+        zp_cs = cwct.interp_with_factors_packed(
+            zp_c, ls_p, mu_p, jnp.float32(alpha_c), c_lat)
+        got = np.asarray(rf.decode_fast(fast, zp_cs, SMALL,
+                                        packed_latent=True))
+        z_ref = cwct.interpolation(z_c, z_s[None], jnp.asarray([1.0]),
+                                   alpha_c=alpha_c)
+        want = np.asarray(decode(params, z_ref, SMALL))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # alpha_c == 0 degenerates to the plain factored transfer
+    zp0 = cwct.interp_with_factors_packed(
+        zp_c, ls_p, mu_p, jnp.float32(0.0), c_lat)
+    zt = cwct.transfer_with_factors_packed(zp_c, ls_p, mu_p, c_lat)
+    np.testing.assert_allclose(np.asarray(zp0), np.asarray(zt), atol=1e-5)
+
+
 def test_stylize_fast_artistic_config(rng):
     """The fused path serves the ARTISTIC profile too (hidden_dim=64,
     sp_steps=1 -> 128*4^1-grouped packed latent at 1/4 res; reference

@@ -198,6 +198,78 @@ def test_parallel_fused_stylize_matches_single(rng, monkeypatch):
                                np.round(ref * 255.0).astype(np.uint8),
                                atol=1)
 
+    # interp variant (--alpha_c over the mesh): traced alpha, sharded ==
+    # single-device interp_with_factors_packed
+    alpha = jnp.float32(0.4)
+    zi = cwct.interp_with_factors_packed(zp, ls, mu_s, alpha, c_lat)
+    ref_i = np.clip(np.asarray(
+        rf.decode_fast(fast, zi, SMALL, packed_latent=True)), 0.0, 1.0)
+    fni = parallel_stylize_fused(mesh, SMALL, interp=True)
+    with mesh:
+        outi = fni(fast, shard_batch(mesh, frames), ls, mu_s, alpha)
+    np.testing.assert_allclose(np.asarray(outi), ref_i, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_parallel_masked_fused_matches_single(rng, monkeypatch):
+    """The masked (auto-seg) video program sharded over 'data' — in-graph
+    segment -> composed video_remap -> fused encode -> factored regional
+    cWCT -> fused decode — equals the same chain on one device. Pallas in
+    interpret mode; a depth-(1,1,1,1) segmenter keeps the CPU compile
+    small."""
+    import vstnet_tpu.ops.coupling_flat as cflat
+    import vstnet_tpu.models.revresnet_fast as rf
+    from vstnet_tpu.models import cwct
+    from vstnet_tpu.models.remapping import (
+        load_label_mapping,
+        self_remapping,
+        video_remap,
+        video_remap_plan,
+    )
+    from vstnet_tpu.models.segformer import init_segformer, segment_mask
+    from vstnet_tpu.parallel import parallel_stylize_masked_fused
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    orig = cflat.fused_coupling_flat
+
+    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
+                interpret=False):
+        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
+                    interpret=True)
+
+    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
+    monkeypatch.setattr(rf, "fused_coupling_flat", patched)
+
+    params = init_revresnet(jax.random.PRNGKey(5), SMALL)
+    fast = rf.pack_revresnet(params, SMALL)  # f32 on CPU: exact comparison
+    seg_params = init_segformer(jax.random.PRNGKey(6), depths=(1, 1, 1, 1))
+    mapping = load_label_mapping()
+
+    frames = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)), jnp.float32)
+    style = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+
+    smask = self_remapping(segment_mask(seg_params, style), mapping, 0.02)
+    z_s = rf.encode_fast(fast, style, SMALL)
+    style_region = cwct.style_region_factors(z_s, smask, max_labels=8)
+    remap_plan = video_remap_plan(smask, mapping)
+
+    # single-device reference of the identical chain
+    cm_ref = segment_mask(seg_params, frames)
+    cm_ref = video_remap(cm_ref, *remap_plan, mapping, 0.02)
+    z_c = rf.encode_fast(fast, frames, SMALL)
+    z_cs = cwct.transfer_masked_factored(z_c, cm_ref, *style_region)
+    ref = np.clip(np.asarray(rf.decode_fast(fast, z_cs, SMALL)), 0.0, 1.0)
+
+    mesh = make_mesh(8, axes=("data",))
+    fn = parallel_stylize_masked_fused(mesh, SMALL, min_ratio=0.02)
+    with mesh:
+        out, cm = fn(fast, seg_params, mapping, style_region, remap_plan,
+                     shard_batch(mesh, frames))
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_ref))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
 
 def test_parallel_flat_step_sequence_and_bf16(devices_ok, rng):
     """N data-parallel steps track the single-device flat trainer, and the

@@ -204,6 +204,30 @@ def test_cross_remapping_parity(ref_remap, rng):
     np.testing.assert_array_equal(ours, ref_out)
 
 
+def test_video_remap_composed_equals_sequential():
+    """The masked-video fast path composes self+cross remapping into one
+    150-entry table + one gather (video_remap). Must be bit-equal to the
+    sequential self_remapping -> cross_remapping the f32 path runs."""
+    from vstnet_tpu.models.remapping import video_remap, video_remap_plan
+
+    mapping = load_label_mapping()
+    r = np.random.default_rng(11)
+    b, h, w = 3, 48, 48
+    cm = jnp.asarray(
+        _random_seg(r, np.array([3, 17, 52, 93, 121, 140]), (b, h, w),
+                    probs=[0.4, 0.3, 0.2, 0.06, 0.03, 0.01]), jnp.int32)
+    sm = jnp.asarray(
+        _random_seg(r, np.array([3, 52, 76]), (1, h, w)), jnp.int32)
+
+    for min_ratio in (0.02, 0.05):
+        seq = cross_remapping(
+            self_remapping(cm, mapping, min_ratio),
+            jnp.broadcast_to(sm, (b, h, w)), mapping)
+        in_style, cross_tab = video_remap_plan(sm, mapping)
+        fused = video_remap(cm, in_style, cross_tab, mapping, min_ratio)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(seq))
+
+
 def test_half_precision_logits_agree():
     """bf16 segmenter (reference deploys in half, segment.py:479): logits
     stay highly correlated with the f32 pass; shapes/dtypes intact."""

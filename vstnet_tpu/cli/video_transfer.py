@@ -14,7 +14,13 @@ streaming pipeline:
   * auto-seg runs IN-GRAPH: segment -> self/cross label remap -> masked
     cWCT compile into the same program as the stylize, so the masked path
     keeps the same 2-batches-in-flight async dispatch as the global path
-    (no host round trip per batch);
+    (no host round trip per batch); under --precision bf16 it runs the
+    fused masked program (per-video factored style statistics + composed
+    one-gather remap — 4.7x over the f32 masked program, PERF.md);
+  * --alpha_c interpolation also runs fused under bf16: style factors
+    mixed once, alpha_c a traced scalar (a sweep reuses one compiled
+    program), per frame only the content factor + blend — measured at
+    the same fps as the global fused path;
   * host decode (PIL/JPEG) overlaps device compute via async dispatch,
     with uint8 arrays at both device boundaries.
 
@@ -102,23 +108,55 @@ def main(argv=None):
     z_s = encode(model.params, jnp.asarray(style), cfg)
     ls, mu_s = cwct.style_factors(z_s)
 
-    # bf16 fused fast path (global transfer only; masked/interp paths need
-    # the spatial latent and run the standard path)
+    # bf16 fused Pallas paths (global: packed latent; masked: spatial
+    # latent + factored per-label style statistics; interp: packed latent
+    # with the per-frame content blend by a traced alpha_c).
+    on_tpu = jax.default_backend() != "cpu"  # Pallas needs the TPU
     use_fast = (args.precision == "bf16" and not args.auto_seg
-                and args.alpha_c is None
-                and jax.default_backend() != "cpu")  # Pallas needs the TPU
+                and args.alpha_c is None and on_tpu)
+    use_fast_masked = (args.precision == "bf16" and args.auto_seg
+                       and on_tpu)
+    use_fast_interp = (args.precision == "bf16" and not args.auto_seg
+                       and args.alpha_c is not None and on_tpu)
 
     def _to_u8(x):
         """Device-side uint8 pack: 4x less readback than f32 frames (the
         host link is the video bottleneck — PERF.md)."""
         return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-    if use_fast:
+    if use_fast or use_fast_masked or use_fast_interp:
         from vstnet_tpu.models import revresnet_fast as rf
 
         fast_params = rf.pack_revresnet(model.params, cfg,
                                         dtype=jnp.bfloat16)
         c_lat = cfg.latent_channels
+
+    if use_fast_interp:
+        # style factors in the packed layout, computed once; alpha_c is a
+        # TRACED scalar (one compile serves an interpolation sweep)
+        zp_s = rf.encode_fast(
+            fast_params, jnp.asarray(style).astype(jnp.bfloat16), cfg,
+            packed_latent=True)
+        ls_p, mu_p = cwct.style_factors_packed(zp_s, c_lat)
+        if mesh is not None:
+            from vstnet_tpu.parallel import parallel_stylize_fused
+
+            _sharded_interp = parallel_stylize_fused(
+                mesh, cfg, out_u8=True, interp=True)
+
+            def stylize_batch_interp(fp, frames, a):
+                return _sharded_interp(fp, frames, ls_p, mu_p, a)
+        else:
+            @jax.jit
+            def stylize_batch_interp(fp, frames, a):
+                zp = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg,
+                                    packed_latent=True)
+                z_cs = cwct.interp_with_factors_packed(
+                    zp, ls_p, mu_p, a, c_lat)
+                out = rf.decode_fast(fp, z_cs, cfg, packed_latent=True)
+                return _to_u8(out.astype(jnp.float32))
+
+    if use_fast:
 
         if mesh is not None:
             from vstnet_tpu.parallel import parallel_stylize_fused
@@ -151,6 +189,31 @@ def main(argv=None):
         smask = seg.segment(jnp.asarray(style))
         smask = self_remapping(smask, seg.label_mapping, args.min_ratio)
 
+        if use_fast_masked:
+            from vstnet_tpu.models.pipeline import _mask_to_latent
+            from vstnet_tpu.models.remapping import (
+                video_remap,
+                video_remap_plan,
+            )
+
+            # style side factored ONCE per video: per-label latent
+            # statistics + the frame-independent halves of the remap
+            z_s_sp = rf.encode_fast(
+                fast_params, jnp.asarray(style).astype(jnp.bfloat16), cfg)
+            sm_lat = _mask_to_latent(smask, z_s_sp.shape)
+            k_cap = cwct.label_capacity(sm_lat)
+            style_region = cwct.style_region_factors(
+                z_s_sp, sm_lat, max_labels=k_cap)
+            remap_plan = video_remap_plan(smask, seg.label_mapping)
+
+            if mesh is not None:
+                from vstnet_tpu.parallel import (
+                    parallel_stylize_masked_fused,
+                )
+
+                _sharded_masked = parallel_stylize_masked_fused(
+                    mesh, cfg, min_ratio=args.min_ratio, out_u8=True)
+
     @jax.jit
     def stylize_batch(params, frames):
         z_c = encode(params, frames, cfg)
@@ -172,13 +235,35 @@ def main(argv=None):
             return _to_u8(_sharded_std(params, frames, ls, mu_s))
 
     @jax.jit
-    def stylize_batch_masked(params, frames):
+    def stylize_batch_masked_fast(fp, seg_params, style_region, remap_plan,
+                                  frames):
+        """Masked stylize on the fused bf16 Pallas path: in-graph segment
+        -> composed one-gather remap (video_remap) -> content-side-only
+        regional cWCT against the precomputed style factors -> fused
+        decode. 137.7 -> ~35 ms/frame vs the f32 masked program (PERF.md
+        masked-video section)."""
+        labels_k, ns_k, mean_s_k, cov_s_k = style_region
+        in_style, cross_tab = remap_plan
+        cm = segment_mask(seg_params, frames)
+        cm = video_remap(cm, in_style, cross_tab, seg.label_mapping,
+                         args.min_ratio)
+        z_c = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg)
+        cm_lat = _mask_to_latent(cm, z_c.shape)
+        z_cs = cwct.transfer_masked_factored(
+            z_c, cm_lat, labels_k, ns_k, mean_s_k, cov_s_k)
+        out = rf.decode_fast(fp, z_cs.astype(jnp.bfloat16), cfg)
+        return _to_u8(out.astype(jnp.float32)), cm
+
+    @jax.jit
+    def stylize_batch_masked(params, seg_params, frames):
         """Segment -> remap -> masked cWCT -> decode, ONE program: the
         per-frame auto-seg flow of the reference (video_transfer.py:163-184)
         with the label remapping in-graph (models/remapping.py is pure
         JAX), so the masked path keeps async dispatch — nothing touches
-        the host until the writer drains the batch."""
-        cm = segment_mask(seg.params, frames)
+        the host until the writer drains the batch. Segmenter weights are
+        an ARGUMENT (not a closure): baked-constant weights blow the
+        remote-compile module size through the relay."""
+        cm = segment_mask(seg_params, frames)
         cm = self_remapping(cm, seg.label_mapping, args.min_ratio)
         sm_b = jnp.broadcast_to(smask, (frames.shape[0], *smask.shape[-2:]))
         cm = cross_remapping(cm, sm_b, seg.label_mapping)
@@ -236,11 +321,23 @@ def main(argv=None):
         while len(batch_np) < batch_total:  # pad to static shape
             batch_np.append(batch_np[-1])
         x = to_device_batch(batch_np)
+        if use_fast_masked:
+            if mesh is not None:
+                out, cm = _sharded_masked(
+                    fast_params, seg.params, seg.label_mapping,
+                    style_region, remap_plan, x)
+            else:
+                out, cm = stylize_batch_masked_fast(
+                    fast_params, seg.params, style_region, remap_plan, x)
+            return out, n, cm
         if args.auto_seg:
-            out, cm = stylize_batch_masked(model.params, x)
+            out, cm = stylize_batch_masked(model.params, seg.params, x)
             return out, n, cm
         if use_fast:
             return stylize_batch_fast(fast_params, x), n, None
+        if use_fast_interp:
+            return stylize_batch_interp(
+                fast_params, x, jnp.float32(args.alpha_c)), n, None
         return stylize_batch(model.params, x), n, None
 
     for frame in frame_stream():

@@ -297,6 +297,43 @@ def transfer_with_factors_packed(zp, ls, mu_s, c: int,
     return out.reshape(shape)
 
 
+@partial(jax.jit, static_argnames=("c", "eps"))
+def interp_with_factors_packed(zp, mix_ls, mix_mu, alpha_c, c: int,
+                               eps: float = EPS_DEFAULT):
+    """Style interpolation on a packed NCHW latent against precomputed
+    (already alpha_s-mixed) style factors — the fused video form of
+    `interpolation` (reference cWCT.py:206-262): per frame only the
+    content factor is computed, then blended by the TRACED scalar alpha_c
+    (mix_ls(1-a) + Lc·a, same for the means) and applied as one matmul.
+    At alpha_c == 0 this is exactly transfer_with_factors_packed.
+
+    mix_ls/mu: (1, C, C)/(1, C) from style_factors_packed (single style)
+    or an alpha_s-weighted sum of several (interpolation semantics)."""
+    shape = zp.shape
+    z = _to_gcn(zp, c)
+    mix_ls = jnp.broadcast_to(mix_ls.astype(jnp.float32),
+                              (z.shape[0], *mix_ls.shape[1:]))
+    mix_mu = jnp.broadcast_to(mix_mu.astype(jnp.float32),
+                              (z.shape[0], *mix_mu.shape[1:]))
+    a = jnp.asarray(alpha_c, jnp.float32)
+
+    def one(x, l, m):  # x: (G, C, N)
+        mean, cov = _packed_stats(x.astype(jnp.float32))
+        lc = robust_cholesky(cov, eps)
+        bl = l * (1.0 - a) + lc * a
+        bm = m * (1.0 - a) + mean * a
+        t = _mm(bl, _inv_lower(lc))
+        b = bm - _mm(t, mean)
+        prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+                else lax.Precision.DEFAULT)
+        y = jnp.einsum("dc,gcn->gdn", t.astype(x.dtype), x,
+                       preferred_element_type=jnp.float32, precision=prec)
+        return (y + b[None, :, None]).astype(x.dtype)
+
+    out = jax.vmap(one)(z, mix_ls, mix_mu)
+    return out.reshape(shape)
+
+
 # ---------------------------------------------------------------------------
 # Streaming/global transform pieces (ultra-resolution tiled pipeline)
 # ---------------------------------------------------------------------------
@@ -381,18 +418,27 @@ def region_moments(x, m, labels, chunk=REGION_CHUNK, batched=False):
     xs = jnp.swapaxes(folded[0], 0, 1)  # (n_chunks, I, chunk, C)
     ms = jnp.swapaxes(folded[1], 0, 1)
 
+    # Exactness note for bf16 inputs (the fused fast path's latent): the
+    # one-hot weights are 0/1, so w*x never rounds, and the MXU multiplies
+    # bf16 operands exactly into the f32 accumulator — a single-pass bf16
+    # contraction here equals the f32 HIGHEST (6-pass) contraction bit for
+    # bit on bf16-representable data, at ~6x less MXU work and half the
+    # HBM traffic (tested: tests/test_cwct.py bf16 moments exactness).
+    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
     def body(carry, inp):
         cnt, sm, gm = carry
         xcb, mcb = inp
-        w = (mcb[..., None] == labels[None, None, :]).astype(jnp.float32)
-        cnt = cnt + jnp.sum(w, axis=1)
+        w = (mcb[..., None] == labels[None, None, :]).astype(x.dtype)
+        cnt = cnt + jnp.sum(w, axis=1, dtype=jnp.float32)
         sm = sm + jnp.einsum("ink,inc->ikc", w, xcb,
                              preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
+                             precision=prec)
         xw = jnp.einsum("ink,inc->iknc", w, xcb)
         gm = gm + jnp.einsum("iknc,ind->ikcd", xw, xcb,
                              preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
+                             precision=prec)
         return (cnt, sm, gm), None
 
     init = (jnp.zeros((i, k), jnp.float32),
@@ -447,23 +493,30 @@ def apply_regions(x, m, labels, ts, bs, valids, chunk=REGION_CHUNK):
 
 def _apply_regions(x, m, labels, ts, bs, valids, chunk=REGION_CHUNK):
     """y_n = T_{label(n)} x_n + b for pixels in valid regions; content
-    passthrough otherwise. One scanned pass; (chunk, K, C) bounded."""
+    passthrough otherwise. One scanned pass; (chunk, K, C) bounded.
+
+    f32 inputs run at HIGHEST precision (the parity path); bf16 inputs
+    (fused fast path) apply the transform in bf16 single-pass MXU form
+    with f32 accumulation, like _apply_native."""
     n = x.shape[0]
     xs, ms = _chunked(x, m, chunk)
+    f32_in = x.dtype == jnp.float32
+    prec = lax.Precision.HIGHEST if f32_in else lax.Precision.DEFAULT
+    ts_c = ts if f32_in else ts.astype(x.dtype)
 
     def body(_, inp):
         xcb, mcb = inp
         sel = (mcb[:, None] == labels[None, :]) & valids[None, :]
-        w = sel.astype(jnp.float32)
-        z = jnp.einsum("kdc,nc->nkd", ts, xcb,
+        w = sel.astype(x.dtype)
+        z = jnp.einsum("kdc,nc->nkd", ts_c, xcb,
                        preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGHEST)
+                       precision=prec)
         y = (jnp.einsum("nk,nkd->nd", w, z,
                         preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)
-             + w @ bs)
+                        precision=prec)
+             + sel.astype(jnp.float32) @ bs)
         keep = ~jnp.any(sel, axis=1)
-        return None, jnp.where(keep[:, None], xcb, y)
+        return None, jnp.where(keep[:, None], xcb, y.astype(x.dtype))
 
     _, ys = lax.scan(body, None, (xs, ms))
     return ys.reshape(-1, x.shape[1])[:n]
@@ -512,11 +565,21 @@ def transfer_masked(
 
     content_feat (B,Hc,Wc,C); cmask (B,Hc,Wc) int labels >= 0. Pixels whose
     label fails the validity rule keep their content features. max_labels is
-    the static region capacity K (first K distinct labels)."""
+    the static region capacity K (first K distinct labels).
+
+    bf16 latents (the fused fast path) run the moment/apply contractions
+    in single-pass bf16 MXU form with f32 accumulation (exact for the
+    one-hot moments — see region_moments); statistics and Cholesky stay
+    f32 regardless."""
     shape = content_feat.shape
     dt = content_feat.dtype
-    xc = _to_nc(content_feat).astype(jnp.float32)
-    xs = _to_nc(style_feat).astype(jnp.float32)
+    xc = _to_nc(content_feat)
+    xs = _to_nc(style_feat)
+    cd = jnp.promote_types(xc.dtype, xs.dtype)
+    if cd != jnp.bfloat16:
+        cd = jnp.float32  # only all-bf16 inputs take the bf16 fast form
+    xc = xc.astype(cd)
+    xs = xs.astype(cd)
     cm = cmask.reshape(cmask.shape[0], -1).astype(jnp.int32)
     sm = smask.reshape(smask.shape[0], -1).astype(jnp.int32)
     out = jax.vmap(
@@ -524,6 +587,77 @@ def transfer_masked(
             a, b, c, d, eps, max_labels, float(min_pixels), max_ratio
         )
     )(xc, xs, cm, sm)
+    return out.reshape(shape).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# Factored regional transfer (masked-video fast path): the style image and
+# its mask are FIXED for a whole video, so the per-label style statistics
+# are computed once up front; per frame only the content moments, the KxCxC
+# Choleskys, and the apply remain. transfer_masked recomputes the style
+# moments for every frame of every batch (the style latent is broadcast
+# B-fold) — on the video workload that doubled the masked-cWCT cost.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_labels",))
+def style_region_factors(style_feat, smask, max_labels: int = 32):
+    """Per-label style statistics, computed ONCE for a fixed style.
+
+    style_feat (1,H,W,C) latent; smask (1,H,W) int labels (already
+    self-remapped). Returns (labels (K,), ns (K,), mean_s (K,C),
+    cov_s (K,C,C)). The label set is the STYLE's distinct labels: after
+    cross_remapping every content label lands in this set (content labels
+    the style lacks are remapped; the rare no-candidate fallback keeps a
+    non-style label, which fails the style-pixel validity rule in both
+    the factored and unfactored variants and passes through)."""
+    xs = _to_nc(style_feat).astype(jnp.float32)[0]
+    sm = smask.reshape(-1).astype(jnp.int32)
+    labels = jnp.unique(
+        sm, size=max_labels, fill_value=jnp.int32(-1)
+    ).astype(jnp.int32)
+    ns, mean_s, cov_s = _region_stats(xs, sm, labels)
+    return labels, ns, mean_s, cov_s
+
+
+@partial(jax.jit, static_argnames=("eps", "min_pixels", "max_ratio"))
+def transfer_masked_factored(
+    content_feat,
+    cmask,
+    labels,
+    ns,
+    mean_s,
+    cov_s,
+    eps: float = EPS_DEFAULT,
+    min_pixels: int = MIN_PIXELS,
+    max_ratio: float = MAX_RATIO_RESEARCH,
+):
+    """Regional cWCT against precomputed per-label style statistics
+    (style_region_factors). Equal to transfer_masked whenever every
+    content label appears in `labels` (guaranteed after cross_remapping;
+    tested bit-for-bit in tests/test_cwct.py). content_feat (B,H,W,C);
+    cmask (B,H,W); the style-side arrays are shared across the batch.
+
+    K is static via labels.shape — no max_labels argument needed.
+
+    bf16 content latents (the fused fast path) stay bf16 through the
+    moment/apply contractions (exact one-hot sums with f32 accumulation —
+    see region_moments); statistics, Cholesky, and transforms are always
+    f32."""
+    shape = content_feat.shape
+    dt = content_feat.dtype
+    xc = _to_nc(content_feat)
+    if xc.dtype not in (jnp.float32, jnp.bfloat16):
+        xc = xc.astype(jnp.float32)
+    cm = cmask.reshape(cmask.shape[0], -1).astype(jnp.int32)
+
+    def one(x, m):
+        nc, mean_c, cov_c = _region_stats(x, m, labels)
+        ts, bs, valids = region_transforms(
+            labels, nc, mean_c, cov_c, ns, mean_s, cov_s, eps,
+            float(min_pixels), max_ratio)
+        return _apply_regions(x, m, labels, ts, bs, valids)
+
+    out = jax.vmap(one)(xc, cm)
     return out.reshape(shape).astype(dt)
 
 
@@ -552,6 +686,11 @@ def interpolation(
     alpha_s = jnp.asarray(alpha_s, jnp.float32)
     xs = jax.vmap(_to_nc)(style_feats).astype(jnp.float32)  # (S, B, Ns, C)
     xs = jnp.swapaxes(xs, 0, 1)  # (B, S, Ns, C)
+    if xs.shape[0] == 1 and xc.shape[0] > 1:
+        # batch-1 styles broadcast over a frame batch (the video CLI
+        # passes one style against batched frames — same contract as
+        # transfer_with_factors)
+        xs = jnp.broadcast_to(xs, (xc.shape[0], *xs.shape[1:]))
 
     def per_batch(xcb, xsb):
         mean_c, cov_c = _feat_stats(xcb)

@@ -54,9 +54,17 @@ def _first_qualifying(mapping, qualifies, fallback):
 
 
 def label_counts(seg, num_classes: int = NUM_CLASSES):
-    """Pixel count per label. seg: int array, any shape."""
+    """Pixel count per label. seg: int array, any shape.
+
+    Compare-and-reduce rather than scatter-add: a 150-bin scatter over a
+    full-resolution frame serializes on the TPU scalar core (~2.3 ms at
+    512x512 — PERF.md masked-video section), while the broadcast compare
+    + sum lowers to one vectorized reduction fusion (~4x faster). Counts
+    are exact either way."""
     flat = seg.reshape(-1)
-    return jnp.zeros((num_classes,), jnp.int32).at[flat].add(1)
+    bins = jnp.arange(num_classes, dtype=flat.dtype)
+    return jnp.sum(flat[:, None] == bins[None, :], axis=0,
+                   dtype=jnp.int32)
 
 
 def self_remapping(seg, mapping, min_ratio: float = 0.02,
@@ -105,6 +113,54 @@ def cross_remapping(content_seg, style_seg, mapping):
     remapped = _first_qualifying(mapping, in_style, identity)
     new_label = jnp.where(missing, remapped, identity)
     return new_label[content_seg]
+
+
+def video_remap_plan(smask, mapping):
+    """Per-video precompute for the masked-video fast path: the style mask
+    is fixed, so the style presence vector and the cross-remap candidate
+    table are frame-independent. smask: (H, W) or (1, H, W) int.
+
+    Returns (in_style (150,) bool, cross_tab (150,) int32) where
+    cross_tab[l] is the label a style-missing content label l moves to."""
+    s_counts = label_counts(smask)
+    in_style = s_counts > 0
+    identity = jnp.arange(NUM_CLASSES, dtype=jnp.int32)
+    cross_tab = _first_qualifying(mapping, in_style, identity)
+    return in_style, cross_tab
+
+
+def video_remap(seg, in_style, cross_tab, mapping, min_ratio: float = 0.02,
+                min_pixels_floor: int = 10):
+    """self_remapping + cross_remapping composed into ONE 150-entry table
+    and ONE per-pixel gather.
+
+    The sequential calls cost three full-resolution histograms and two
+    full-resolution gathers per frame (~16 ms/frame at 512 squared on
+    v5e — PERF.md); the composition needs one of each: for a pixel with
+    label l, m1 = self_map[l] is by construction present in the
+    self-remapped frame (the pixel itself), so the cross step reduces to
+    a pure table lookup — no second histogram. Bit-equal to
+    cross_remapping(self_remapping(seg, ...), smask, ...) (tested).
+
+    seg: (H, W) or (B, H, W); in_style/cross_tab from video_remap_plan."""
+    if seg.ndim == 3:
+        return jax.vmap(
+            lambda s: video_remap(s, in_style, cross_tab, mapping,
+                                  min_ratio, min_pixels_floor)
+        )(seg)
+
+    n_pixels = seg.shape[0] * seg.shape[1]
+    min_pixels = max(int(n_pixels * min_ratio), min_pixels_floor)
+
+    counts = label_counts(seg)
+    present = counts > 0
+    big = counts >= min_pixels
+
+    identity = jnp.arange(NUM_CLASSES, dtype=jnp.int32)
+    remapped = _first_qualifying(mapping, big, identity)
+    self_map = jnp.where(present & ~big, remapped, identity)
+    composed = jnp.where(in_style[self_map], self_map, cross_tab[self_map])
+    return composed[seg]
 
 
 def remove_small_holes(seg, mapping, min_ratio: float = 0.01):

@@ -7,6 +7,7 @@ from vstnet_tpu.parallel.sharding import (  # noqa: F401
     parallel_stylize,
     parallel_stylize_factored,
     parallel_stylize_fused,
+    parallel_stylize_masked_fused,
     make_parallel_flat_step,
     make_parallel_train_step,
 )

@@ -93,7 +93,7 @@ def parallel_stylize_factored(mesh: Mesh, cfg: RevResNetConfig,
 # ---------------------------------------------------------------------------
 
 def parallel_stylize_fused(mesh: Mesh, cfg: RevResNetConfig,
-                           out_u8: bool = False):
+                           out_u8: bool = False, interp: bool = False):
     """Compiled stylize(fast_params, frames, ls, mu_s) with frames sharded
     over 'data' and the fused flat-Pallas encode/decode + packed-latent
     cWCT running per-shard (models/revresnet_fast.py; the workload of the
@@ -103,28 +103,80 @@ def parallel_stylize_fused(mesh: Mesh, cfg: RevResNetConfig,
     ls/mu_s: one precomputed style factor (batch 1), replicated.
     frames: (B, H, W, 3) float in [0,1]; B must divide by the data axis.
     out_u8=True packs the output to uint8 on-device (4x less readback).
-    """
+    interp=True: the returned fn takes a trailing TRACED alpha_c scalar
+    and runs the content-blend interpolation (cWCT.py:206-262 semantics)
+    via cwct.interp_with_factors_packed — the --alpha_c video path."""
     from vstnet_tpu.models import revresnet_fast as rf
 
     c_lat = cfg.latent_channels
 
-    def local_fn(fast_params, frames, ls, mu_s):
+    def local_fn(fast_params, frames, ls, mu_s, *alpha):
         # compute in the packed-weight dtype (bf16 in production; f32 in
         # the exactness tests)
         dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
         zp = rf.encode_fast(fast_params, frames.astype(dt), cfg,
                             packed_latent=True)
-        z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
+        if interp:
+            z_cs = cwct.interp_with_factors_packed(zp, ls, mu_s, alpha[0],
+                                                   c_lat)
+        else:
+            z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
         out = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
         out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
         if out_u8:
             return jnp.round(out * 255.0).astype(jnp.uint8)
         return out
 
+    specs = (P(), P("data"), P(), P()) + ((P(),) if interp else ())
     sharded = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P(), P()),
+        in_specs=specs,
         out_specs=P("data"),
+        check_vma=False,  # pallas_call has no replication rule
+    )
+    return jax.jit(sharded)
+
+
+def parallel_stylize_masked_fused(mesh: Mesh, cfg: RevResNetConfig,
+                                  min_ratio: float = 0.02,
+                                  out_u8: bool = False):
+    """The masked (auto-seg) video program over all chips: frames sharded
+    on 'data'; segmenter weights, the remap tables, and the per-label
+    style statistics (cwct.style_region_factors — computed once per
+    video) replicated. Per-frame segment -> composed video_remap ->
+    fused bf16 encode -> content-side regional cWCT -> fused decode, all
+    in ONE program per shard with zero collectives (frames are
+    independent — SURVEY §3.2). The multi-chip form of the per-frame
+    auto-seg flow at /root/reference/video_transfer.py:163-184.
+
+    Returns fn(fast_params, seg_params, mapping, style_region,
+    remap_plan, frames) -> (stylized, content_masks)."""
+    from vstnet_tpu.models import revresnet_fast as rf
+    from vstnet_tpu.models.pipeline import _mask_to_latent
+    from vstnet_tpu.models.remapping import video_remap
+    from vstnet_tpu.models.segformer import segment_mask
+
+    def local_fn(fast_params, seg_params, mapping, style_region,
+                 remap_plan, frames):
+        labels_k, ns_k, mean_s_k, cov_s_k = style_region
+        in_style, cross_tab = remap_plan
+        cm = segment_mask(seg_params, frames)
+        cm = video_remap(cm, in_style, cross_tab, mapping, min_ratio)
+        dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
+        z_c = rf.encode_fast(fast_params, frames.astype(dt), cfg)
+        cm_lat = _mask_to_latent(cm, z_c.shape)
+        z_cs = cwct.transfer_masked_factored(
+            z_c, cm_lat, labels_k, ns_k, mean_s_k, cov_s_k)
+        out = rf.decode_fast(fast_params, z_cs.astype(dt), cfg)
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        if out_u8:
+            out = jnp.round(out * 255.0).astype(jnp.uint8)
+        return out, cm
+
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("data")),
+        out_specs=(P("data"), P("data")),
         check_vma=False,  # pallas_call has no replication rule
     )
     return jax.jit(sharded)
