@@ -3,9 +3,11 @@ segment -> self/cross remap -> masked cWCT -> decode pipeline that
 cli/video_transfer.py dispatches per batch). Reports device-plane ms/frame
 — relay-RPC-proof, same methodology as profile_stylize.py.
 
-Usage: python scripts/profile_masked_video.py [batch] [size] [fast]
+Usage: python scripts/profile_masked_video.py [batch] [size] [fast[,segN]]
   fast: any third arg routes the bf16 fused masked program (composed
   video_remap + factored style statistics) instead of the f32 one.
+  fast,seg256: additionally run the SEGMENTER at 256 max side (the
+  --seg_size CLI knob; masks upsampled nearest).
 """
 
 import glob
@@ -34,6 +36,11 @@ def main():
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     fast = len(sys.argv) > 3
     seg_half = len(sys.argv) > 3 and "half" in sys.argv[3]
+    seg_size = 0
+    if len(sys.argv) > 3:
+        for part in sys.argv[3].split(","):
+            if part.startswith("seg") and part[3:].isdigit():
+                seg_size = int(part[3:])
     logdir = "/tmp/prof_masked_video"
     cfg = PHOTO_CONFIG
     params = init_revresnet(jax.random.PRNGKey(0), cfg)
@@ -58,12 +65,20 @@ def main():
                                                  max_labels=32)
         remap_plan = video_remap_plan(smask, mapping)
 
+        from vstnet_tpu.ops.resize import resize_bilinear
+
         @jax.jit
         def masked_batch(fp, seg_params, style_region, remap_plan, frames):
             labels_k, ns_k, mean_s_k, cov_s_k = style_region
             in_style, cross_tab = remap_plan
-            cm = segment_mask(seg_params, frames, half=seg_half)
+            seg_in = frames
+            if seg_size and seg_size < size:
+                seg_in = resize_bilinear(frames, seg_size, seg_size)
+            cm = segment_mask(seg_params, seg_in, half=seg_half)
             cm = video_remap(cm, in_style, cross_tab, mapping, 0.02)
+            if cm.shape[1:] != frames.shape[1:3]:
+                cm = jax.image.resize(
+                    cm, (cm.shape[0], *frames.shape[1:3]), method="nearest")
             z_c = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg)
             z_cs = cwct.transfer_masked_factored(
                 z_c, cm, labels_k, ns_k, mean_s_k, cov_s_k)

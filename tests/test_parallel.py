@@ -270,6 +270,17 @@ def test_parallel_masked_fused_matches_single(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(cm), np.asarray(cm_ref))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
+    # --seg_size variant: segmenter runs at 8x8, masks come back upsampled
+    # to frame resolution and the program stays finite/valid
+    fn_s = parallel_stylize_masked_fused(mesh, SMALL, min_ratio=0.02,
+                                         seg_hw=(8, 8))
+    with mesh:
+        out_s, cm_s = fn_s(fast, seg_params, mapping, style_region,
+                           remap_plan, shard_batch(mesh, frames))
+    assert cm_s.shape == (8, 16, 16) and out_s.shape == frames.shape
+    assert np.isfinite(np.asarray(out_s)).all()
+    assert np.asarray(cm_s).min() >= 0
+
 
 def test_parallel_flat_step_sequence_and_bf16(devices_ok, rng):
     """N data-parallel steps track the single-device flat trainer, and the

@@ -64,6 +64,14 @@ def build_parser():
     p.add_argument("--palette", type=str, default=None)
     p.add_argument("--min_ratio", type=float, default=0.02)
     p.add_argument("--seg_ckpoint", type=str, default=None)
+    p.add_argument("--seg_size", type=int, default=0,
+                   help="max side for the per-frame SEGMENTER input on the "
+                        "fast masked path (0 = native frame size). The "
+                        "reference caps its segmenter input the same way "
+                        "(segment.py:477-479); region statistics are "
+                        "insensitive to mask boundary precision, and the "
+                        "segmenter is ~25%% of the masked frame time at "
+                        "512² (PERF.md)")
     return p
 
 
@@ -196,6 +204,12 @@ def main(argv=None):
                 video_remap_plan,
             )
 
+            seg_hw = None
+            if args.seg_size and max(h, w) > args.seg_size:
+                ss = args.seg_size / max(h, w)
+                seg_hw = (max(int(h * ss) // 4 * 4, 4),
+                          max(int(w * ss) // 4 * 4, 4))
+
             # style side factored ONCE per video: per-label latent
             # statistics + the frame-independent halves of the remap
             z_s_sp = rf.encode_fast(
@@ -212,7 +226,8 @@ def main(argv=None):
                 )
 
                 _sharded_masked = parallel_stylize_masked_fused(
-                    mesh, cfg, min_ratio=args.min_ratio, out_u8=True)
+                    mesh, cfg, min_ratio=args.min_ratio, out_u8=True,
+                    seg_hw=seg_hw)
 
     @jax.jit
     def stylize_batch(params, frames):
@@ -244,9 +259,15 @@ def main(argv=None):
         masked-video section)."""
         labels_k, ns_k, mean_s_k, cov_s_k = style_region
         in_style, cross_tab = remap_plan
-        cm = segment_mask(seg_params, frames)
+        seg_in = frames
+        if seg_hw is not None:
+            seg_in = resize_bilinear(frames, seg_hw[0], seg_hw[1])
+        cm = segment_mask(seg_params, seg_in)
         cm = video_remap(cm, in_style, cross_tab, seg.label_mapping,
                          args.min_ratio)
+        if cm.shape[1:] != frames.shape[1:3]:
+            cm = jax.image.resize(
+                cm, (cm.shape[0], *frames.shape[1:3]), method="nearest")
         z_c = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg)
         cm_lat = _mask_to_latent(cm, z_c.shape)
         z_cs = cwct.transfer_masked_factored(

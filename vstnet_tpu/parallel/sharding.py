@@ -139,7 +139,8 @@ def parallel_stylize_fused(mesh: Mesh, cfg: RevResNetConfig,
 
 def parallel_stylize_masked_fused(mesh: Mesh, cfg: RevResNetConfig,
                                   min_ratio: float = 0.02,
-                                  out_u8: bool = False):
+                                  out_u8: bool = False,
+                                  seg_hw=None):
     """The masked (auto-seg) video program over all chips: frames sharded
     on 'data'; segmenter weights, the remap tables, and the per-label
     style statistics (cwct.style_region_factors — computed once per
@@ -150,18 +151,30 @@ def parallel_stylize_masked_fused(mesh: Mesh, cfg: RevResNetConfig,
     auto-seg flow at /root/reference/video_transfer.py:163-184.
 
     Returns fn(fast_params, seg_params, mapping, style_region,
-    remap_plan, frames) -> (stylized, content_masks)."""
+    remap_plan, frames) -> (stylized, content_masks).
+
+    seg_hw=(sh, sw): run the segmenter on bilinear-downscaled frames (the
+    reference itself caps the segmenter input, segment.py:477-479; region
+    statistics are insensitive to boundary-pixel precision). The returned
+    masks are upsampled back to frame resolution (nearest)."""
     from vstnet_tpu.models import revresnet_fast as rf
     from vstnet_tpu.models.pipeline import _mask_to_latent
     from vstnet_tpu.models.remapping import video_remap
     from vstnet_tpu.models.segformer import segment_mask
+    from vstnet_tpu.ops.resize import resize_bilinear
 
     def local_fn(fast_params, seg_params, mapping, style_region,
                  remap_plan, frames):
         labels_k, ns_k, mean_s_k, cov_s_k = style_region
         in_style, cross_tab = remap_plan
-        cm = segment_mask(seg_params, frames)
+        seg_in = frames
+        if seg_hw is not None and tuple(seg_hw) != frames.shape[1:3]:
+            seg_in = resize_bilinear(frames, seg_hw[0], seg_hw[1])
+        cm = segment_mask(seg_params, seg_in)
         cm = video_remap(cm, in_style, cross_tab, mapping, min_ratio)
+        if cm.shape[1:] != frames.shape[1:3]:
+            cm = jax.image.resize(
+                cm, (cm.shape[0], *frames.shape[1:3]), method="nearest")
         dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
         z_c = rf.encode_fast(fast_params, frames.astype(dt), cfg)
         cm_lat = _mask_to_latent(cm, z_c.shape)
