@@ -23,9 +23,9 @@ def _interpret_pallas(monkeypatch):
     orig = cflat.fused_coupling_flat
 
     def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False):
+                interpret=False, **kw):
         return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True)
+                    interpret=True, **kw)
 
     monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
     monkeypatch.setattr(rf, "fused_coupling_flat", patched)
@@ -129,6 +129,60 @@ def test_fused_coupling_flat_parity(rng, c, mid, h, w):
                                interpret=True), h, w))
     np.testing.assert_allclose(got_fwd, ref_fwd, atol=2e-5)
     np.testing.assert_allclose(got_inv, ref_inv, atol=2e-5)
+
+
+@pytest.mark.parametrize("c,mid,h,w,th", [
+    (16, 4, 32, 128, 8),   # top/interior/bottom tiles
+    (16, 4, 24, 256, 12),  # exactly two tiles (top tile is not bottom)
+    (8, 2, 64, 128, 16),
+])
+def test_fused_coupling_flat_nopad_parity(rng, c, mid, h, w, th):
+    """The zero-copy entry path (padded=False, S == W): the kernel reads
+    the raw (B,C,H*W) reshape, clips its halo window, and rolls the
+    boundary tiles — must equal both the XLA reference branch and the
+    padded kernel, forward and inverse."""
+    from vstnet_tpu.ops import coupling_flat as cf
+    from vstnet_tpu.ops.pad_conv import residual_branch
+
+    branch = _rand_branch(rng, c, mid, c)
+    packed = cf.pack_branch_weights_flat(branch)
+
+    x1 = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    ref_fwd = np.asarray(residual_branch(x2, branch) + x1)
+    ref_inv = np.asarray(x1 - residual_branch(x2, branch))
+
+    x1n = jnp.transpose(x1, (0, 3, 1, 2)).reshape(2, c, h * w)
+    x2n = jnp.transpose(x2, (0, 3, 1, 2)).reshape(2, c, h * w)
+
+    def back(yf):
+        return np.asarray(jnp.transpose(
+            yf.reshape(2, c, h, w), (0, 2, 3, 1)))
+
+    got_fwd = back(cf.fused_coupling_flat(
+        x1n, x2n, packed, h, w, th=th, interpret=True, padded=False))
+    got_inv = back(cf.fused_coupling_flat(
+        x1n, x2n, packed, h, w, th=th, inverse=True, interpret=True,
+        padded=False))
+    np.testing.assert_allclose(got_fwd, ref_fwd, atol=2e-5)
+    np.testing.assert_allclose(got_inv, ref_inv, atol=2e-5)
+
+
+def test_encode_fast_nopad_stage_parity(rng, monkeypatch):
+    """Stage-level no-pad routing (production shapes have th < h, e.g.
+    th=64 at 512²): force a sub-height tile so _nopad_ok fires, and check
+    encode/decode parity + exact inversion against the standard path."""
+    monkeypatch.setattr(rf, "pick_tile",
+                        lambda h, c, w, dtype_bytes=2, nopad=False: h // 2)
+    params = init_revresnet(jax.random.PRNGKey(3), SMALL)
+    fast = rf.pack_revresnet(params, SMALL)
+    x = jnp.asarray(rng.uniform(size=(1, 32, 128, 3)), jnp.float32)
+    z_ref = encode(params, x, SMALL)
+    z_fast = rf.encode_fast(fast, x, SMALL)
+    np.testing.assert_allclose(np.asarray(z_fast), np.asarray(z_ref),
+                               atol=1e-5)
+    x_rec = rf.decode_fast(fast, z_fast, SMALL)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
 
 
 def test_flat_layout_roundtrip(rng):

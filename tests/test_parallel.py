@@ -161,9 +161,9 @@ def test_parallel_fused_stylize_matches_single(rng, monkeypatch):
     orig = cflat.fused_coupling_flat
 
     def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False):
+                interpret=False, **kw):
         return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True)
+                    interpret=True, **kw)
 
     monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
     monkeypatch.setattr(rf, "fused_coupling_flat", patched)
@@ -235,9 +235,9 @@ def test_parallel_masked_fused_matches_single(rng, monkeypatch):
     orig = cflat.fused_coupling_flat
 
     def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False):
+                interpret=False, **kw):
         return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True)
+                    interpret=True, **kw)
 
     monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
     monkeypatch.setattr(rf, "fused_coupling_flat", patched)

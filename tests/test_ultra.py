@@ -148,9 +148,9 @@ def test_tiled_fast_path_routing(rng, monkeypatch):
     orig = cflat.fused_coupling_flat
 
     def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False):
+                interpret=False, **kw):
         return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True)
+                    interpret=True, **kw)
 
     monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
     monkeypatch.setattr(rfm, "fused_coupling_flat", patched)

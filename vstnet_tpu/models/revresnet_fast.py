@@ -46,13 +46,16 @@ FUSE_MAX_CHANNELS = 64
 VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def pick_tile(h: int, c: int, w: int, dtype_bytes: int = 2) -> int:
+def pick_tile(h: int, c: int, w: int, dtype_bytes: int = 2,
+              nopad: bool = False) -> int:
     """Largest tile height whose kernel working set fits VMEM.
 
     Dominant live tensors per program (L = (th+6)*S lanes): the stacked
     input (3*Cin, L) in activation dtype, the dot output (3*Mp, L) f32
     (Mp = padded mid channels; conv3's is (3*C, L)), and the two stream
-    blocks.
+    blocks. The no-pad entry path's boundary-tile shift_fix holds two
+    extra (Cin, L) copies live (ops/coupling_flat.py) — nopad=True
+    budgets for them.
     """
     s = row_stride(w)
     mp = max(_rup8(c // 4), 8)
@@ -60,6 +63,11 @@ def pick_tile(h: int, c: int, w: int, dtype_bytes: int = 2) -> int:
     # whichever conv is widest (validated against what Mosaic accepts on
     # v5e: stage1 th=64 compiles and is fastest)
     per_row = s * 3 * (c * dtype_bytes + max(mp, c) * 4)
+    if nopad:
+        # shift_fix's temporaries die before the dot peak; one extra
+        # stream block of allowance is what Mosaic's scoped accounting
+        # needs in practice (stage2 th=32 nopad verified on v5e)
+        per_row += c * dtype_bytes * s
     cap = max(VMEM_BUDGET // per_row - 6, 1)
     for th in range(min(h, cap, 128), 0, -1):
         if h % th == 0:
@@ -151,25 +159,60 @@ def _from_flat(xf, h: int, w: int):
 # Encoder / decoder
 # ---------------------------------------------------------------------------
 
+def _nopad_ok(h: int, w: int, th: int) -> bool:
+    """The zero-copy flat entry/exit: for 128-multiple widths the flat
+    row stride equals W (no column halo), so (B,C,H,W) <-> (B,C,H*W) is a
+    free reshape and no materialized pad/slice sits at the pallas_call
+    boundary (XLA cannot fuse through a custom call — the pads/slices of
+    the padded form are real HBM copies, ~24% of the fused frame time in
+    the round-3 roofline). The kernel then reconstructs the row halo by
+    clipping its window and rolling the two boundary tiles."""
+    from vstnet_tpu.ops.coupling_flat import HALO
+
+    return w % 128 == 0 and th >= HALO and h >= th + 2 * HALO
+
+
+def _pick_route(x1, h, w):
+    """(th, nopad) for a fused stage: prefer the zero-copy entry when a
+    shift-budgeted tile still satisfies its constraints."""
+    c = x1.shape[1]
+    nbytes = 2 if x1.dtype == jnp.bfloat16 else 4
+    th_np = pick_tile(h, c, w, dtype_bytes=nbytes, nopad=True)
+    if _nopad_ok(h, w, th_np):
+        return th_np, True
+    return pick_tile(h, c, w, dtype_bytes=nbytes), False
+
+
 def _fused_stage_forward(x1, x2, blocks, h, w):
     """Run consecutive fused stride-1 blocks keeping streams flat."""
-    c = x1.shape[1]
-    th = pick_tile(h, c, w)
-    x1f, x2f = _to_flat(x1), _to_flat(x2)
+    b, c = x1.shape[0], x1.shape[1]
+    th, nopad = _pick_route(x1, h, w)
+    if nopad:
+        x1f, x2f = x1.reshape(b, c, h * w), x2.reshape(b, c, h * w)
+    else:
+        x1f, x2f = _to_flat(x1), _to_flat(x2)
     for bp in blocks:
         x1f, x2f = x2f, fused_coupling_flat(x1f, x2f, bp["packed"], h, w,
-                                            th=th)
+                                            th=th, padded=not nopad)
+    if nopad:
+        return x1f.reshape(b, c, h, w), x2f.reshape(b, c, h, w)
     return _from_flat(x1f, h, w), _from_flat(x2f, h, w)
 
 
 def _fused_stage_inverse(x1, x2, blocks, h, w):
-    c = x1.shape[1]
-    th = pick_tile(h, c, w)
-    x1f, x2f = _to_flat(x1), _to_flat(x2)
+    b, c = x1.shape[0], x1.shape[1]
+    th, nopad = _pick_route(x1, h, w)
+    if nopad:
+        x1f, x2f = x1.reshape(b, c, h * w), x2.reshape(b, c, h * w)
+    else:
+        x1f, x2f = _to_flat(x1), _to_flat(x2)
     for bp in reversed(blocks):
         # forward: (a, b) -> (b, F(b)+a); inverse: (p, q) -> (q - F(p), p)
         x1f, x2f = fused_coupling_flat(x2f, x1f, bp["packed"], h, w,
-                                       th=th, inverse=True), x1f
+                                       th=th, inverse=True,
+                                       padded=not nopad), x1f
+    if nopad:
+        return x1f.reshape(b, c, h, w), x2f.reshape(b, c, h, w)
     return _from_flat(x1f, h, w), _from_flat(x2f, h, w)
 
 

@@ -211,11 +211,19 @@ def _reflect_rows(x, s: int, rows, center_top: int, center_bot: int,
 
 def _coupling_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                           w3_ref, b3_ref, out_ref, *, th, s, w_img, co, c,
-                          n_tiles, inverse):
+                          n_tiles, inverse, padded=True):
     """One grid program: output rows [i*TH, i*TH+TH).
 
     x2 block: local rows [0, T) with T = TH+6 (halo 3 each side); the
     output block aligns with local rows [3, 3+TH).
+
+    padded=False (the no-copy entry path): the source array has NO halo
+    rows; the x2 index map clips the window start into [0, H-T], so the
+    top tile's data sits 3 rows early and the bottom tile's 3 rows late.
+    A whole-block roll (one aligned two-piece concat, only the boundary
+    tiles pay under lax.cond) restores the uniform local frame; the
+    wrapped-in garbage rows land exactly where the reflection fix
+    rewrites them anyway.
     """
     i = pl.program_id(1)
     is_top = i == 0
@@ -233,6 +241,18 @@ def _coupling_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # tile); image row H-1 at absolute row t-4 (bottom tile) — reflection
     # centers below are those, expressed in each tensor's local frame.
     x = x2_ref[0]
+    if not padded:
+        k = HALO * s
+
+        def shift_fix(xx):
+            # top tile: window clipped from -3 to 0 -> data 3 rows early,
+            # roll down; bottom tile: clipped 3 late, roll up. Wrapped-in
+            # garbage rows are rewritten by the reflection fix below.
+            down = jnp.concatenate([xx[:, -k:], xx[:, :-k]], 1)
+            up = jnp.concatenate([xx[:, k:], xx[:, :k]], 1)
+            return jnp.where(is_top, down, up)
+
+        x = lax.cond(is_top | is_bottom, shift_fix, lambda xx: xx, x)
     x = _reflect_rows(x, s, (1, 2, 3), HALO, t - 4, is_top, is_bottom)
 
     h1 = _conv_flat(x, w1_ref[...], b1_ref[...], m1, s, pos(t * s), w_img,
@@ -251,34 +271,51 @@ def _coupling_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("th", "h", "w", "inverse", "interpret"))
+@partial(jax.jit, static_argnames=("th", "h", "w", "inverse", "interpret",
+                                   "padded"))
 def fused_coupling_flat(x1f, x2f, packed, h: int, w: int, th: int = 64,
-                        inverse: bool = False, interpret: bool = False):
+                        inverse: bool = False, interpret: bool = False,
+                        padded: bool = True):
     """Additive coupling block on flat-layout tensors.
 
-    x1f, x2f: (B, C, (H+6)*S). Returns y in the same layout (its boundary
-    slots are garbage — never read downstream).
+    padded=True: x1f, x2f (B, C, (H+6)*S); returns the same layout (its
+    boundary slots are garbage — never read downstream).
+
+    padded=False: x1f, x2f (B, C, H*S) — NO halo rows, so for S == W the
+    tensor is a zero-copy reshape of the NCHW image and no materialized
+    pad/slice sits at the pallas_call boundary (XLA cannot fuse into a
+    custom call). Requires H >= TH + 6 and TH >= 3; the kernel clips the
+    halo window into range and rolls the boundary tiles (see
+    _coupling_kernel_flat).
     """
     b, c, _ = x2f.shape
     assert h % th == 0, f"H={h} not divisible by tile {th}"
     s = row_stride(w)
     n_tiles = h // th
     t = th + 2 * HALO
+    if not padded:
+        assert th >= HALO and h >= t, (
+            f"no-pad path needs TH>={HALO} and H>=TH+6 (h={h}, th={th})")
 
     el = pl.Element
     kernel = partial(
         _coupling_kernel_flat, th=th, s=s, w_img=w, co=col_offset(w), c=c,
-        n_tiles=n_tiles, inverse=inverse,
+        n_tiles=n_tiles, inverse=inverse, padded=padded,
     )
+    if padded:
+        x2_map = lambda bb, ii: (bb, 0, ii * th * s)
+        x1_map = lambda bb, ii: (bb, 0, (HALO + ii * th) * s)
+    else:
+        x2_map = lambda bb, ii: (
+            bb, 0, jnp.clip(ii * th - HALO, 0, h - t) * s)
+        x1_map = lambda bb, ii: (bb, 0, ii * th * s)
     return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((el(1), el(c), el(t * s)),
-                         lambda bb, ii: (bb, 0, ii * th * s),
+            pl.BlockSpec((el(1), el(c), el(t * s)), x2_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((el(1), el(c), el(th * s)),
-                         lambda bb, ii: (bb, 0, (HALO + ii * th) * s),
+            pl.BlockSpec((el(1), el(c), el(th * s)), x1_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -287,8 +324,7 @@ def fused_coupling_flat(x1f, x2f, packed, h: int, w: int, th: int = 64,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((el(1), el(c), el(th * s)),
-                               lambda bb, ii: (bb, 0, (HALO + ii * th) * s),
+        out_specs=pl.BlockSpec((el(1), el(c), el(th * s)), x1_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x1f.shape, x1f.dtype),
         interpret=interpret,
