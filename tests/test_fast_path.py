@@ -255,6 +255,17 @@ def test_stylize_fast_agreement(rng):
                                          max_labels=4))
     assert psnr(got, ref) >= 40.0
 
+    # interpolation route (--alpha_c --fast in the image CLI)
+    from vstnet_tpu.models.pipeline import stylize_interp, stylize_interp_fast
+
+    for a in (0.0, 0.5):
+        ref = np.asarray(stylize_interp(params, c, s[None],
+                                        jnp.asarray([1.0]), SMALL,
+                                        alpha_c=a))
+        got = np.asarray(stylize_interp_fast(fast, c, s, SMALL,
+                                             jnp.float32(a)))
+        assert psnr(got, ref) >= 40.0, f"interp fast alpha_c={a}"
+
 
 def test_masked_video_fast_program_agreement(rng):
     """The exact composition cli/video_transfer.py dispatches per batch on

@@ -189,7 +189,7 @@ def main(argv=None):
         if not 0.0 <= args.alpha_c <= 1.0:
             raise SystemExit(
                 f"error: --alpha_c must be in [0, 1], got {args.alpha_c}")
-        out = model.stylize(c, s, alpha_c=args.alpha_c)
+        out = model.stylize(c, s, alpha_c=args.alpha_c, fast=args.fast)
     else:
         out = model.stylize(c, s, fast=args.fast)
 

@@ -81,6 +81,26 @@ def stylize_interp(params, content, styles, alpha_s, cfg: RevResNetConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def stylize_interp_fast(fast_params, content, style, cfg: RevResNetConfig,
+                        alpha_c):
+    """Single-style interpolation (content blend by a TRACED alpha_c) on
+    the fused bf16 packed-latent path — cWCT.interpolation semantics
+    (models/cWCT.py:206-262) via cwct.interp_with_factors_packed; parity
+    with the f32 stylize_interp is PSNR-gated in tests."""
+    from vstnet_tpu.models import revresnet_fast as rf
+
+    c_lat = cfg.latent_channels
+    zp_c = rf.encode_fast(fast_params, content.astype(jnp.bfloat16), cfg,
+                          packed_latent=True)
+    zp_s = rf.encode_fast(fast_params, style.astype(jnp.bfloat16), cfg,
+                          packed_latent=True)
+    ls, mu_s = cwct.style_factors_packed(zp_s, c_lat)
+    z_cs = cwct.interp_with_factors_packed(zp_c, ls, mu_s, alpha_c, c_lat)
+    out = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
+    return out.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def stylize_fast(fast_params, content, style, cfg: RevResNetConfig):
     """Global stylization on the fused bf16 Pallas path with the packed
     latent (the transfer commutes with the final pixel shuffles, so both
@@ -276,9 +296,12 @@ class StyleModel:
                 fast: bool = False):
         """Stylize padded /4 NHWC float images. Returns raw decoder output
         (research semantics — caller clamps/saves). fast=True uses the
-        fused bf16 Pallas path (interpolation falls back to f32 — it is
-        not a hot path)."""
+        fused bf16 Pallas path for every route, interpolation included."""
         if alpha_c is not None and cmask is None:
+            if fast:
+                return stylize_interp_fast(
+                    self.fast_params, content, style, self.cfg,
+                    jnp.float32(alpha_c))
             return stylize_interp(
                 self.params, content, style[None], jnp.asarray([1.0]),
                 self.cfg, alpha_c=float(alpha_c),
