@@ -56,6 +56,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.alpha_c is not None and not 0.0 <= args.alpha_c <= 1.0:
+        raise SystemExit(
+            f"error: --alpha_c must be in [0, 1], got {args.alpha_c}")
 
     import jax.numpy as jnp
 
@@ -186,9 +189,6 @@ def main(argv=None):
         out = model.stylize(c, s, jnp.asarray(cmask), jnp.asarray(smask),
                             fast=args.fast)
     elif args.alpha_c is not None:
-        if not 0.0 <= args.alpha_c <= 1.0:
-            raise SystemExit(
-                f"error: --alpha_c must be in [0, 1], got {args.alpha_c}")
         out = model.stylize(c, s, alpha_c=args.alpha_c, fast=args.fast)
     else:
         out = model.stylize(c, s, fast=args.fast)

@@ -146,41 +146,34 @@ def main(argv=None):
             fast_params, jnp.asarray(style).astype(jnp.bfloat16), cfg,
             packed_latent=True)
         ls_p, mu_p = cwct.style_factors_packed(zp_s, c_lat)
+        # ONE program body serves both (models/pipeline.py builder);
+        # multi-chip just wraps it in shard_map
         if mesh is not None:
             from vstnet_tpu.parallel import parallel_stylize_fused
 
-            _sharded_interp = parallel_stylize_fused(
+            _interp_fn = parallel_stylize_fused(
                 mesh, cfg, out_u8=True, interp=True)
-
-            def stylize_batch_interp(fp, frames, a):
-                return _sharded_interp(fp, frames, ls_p, mu_p, a)
         else:
-            @jax.jit
-            def stylize_batch_interp(fp, frames, a):
-                zp = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg,
-                                    packed_latent=True)
-                z_cs = cwct.interp_with_factors_packed(
-                    zp, ls_p, mu_p, a, c_lat)
-                out = rf.decode_fast(fp, z_cs, cfg, packed_latent=True)
-                return _to_u8(out.astype(jnp.float32))
+            from vstnet_tpu.models.pipeline import make_fused_video_fn
+
+            _interp_fn = jax.jit(
+                make_fused_video_fn(cfg, out_u8=True, interp=True))
+
+        def stylize_batch_interp(fp, frames, a):
+            return _interp_fn(fp, frames, ls_p, mu_p, a)
 
     if use_fast:
-
         if mesh is not None:
             from vstnet_tpu.parallel import parallel_stylize_fused
 
-            _sharded_fast = parallel_stylize_fused(mesh, cfg, out_u8=True)
-
-            def stylize_batch_fast(fp, frames):
-                return _sharded_fast(fp, frames, ls, mu_s)
+            _fast_fn = parallel_stylize_fused(mesh, cfg, out_u8=True)
         else:
-            @jax.jit
-            def stylize_batch_fast(fp, frames):
-                zp = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg,
-                                    packed_latent=True)
-                z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
-                out = rf.decode_fast(fp, z_cs, cfg, packed_latent=True)
-                return _to_u8(out.astype(jnp.float32))
+            from vstnet_tpu.models.pipeline import make_fused_video_fn
+
+            _fast_fn = jax.jit(make_fused_video_fn(cfg, out_u8=True))
+
+        def stylize_batch_fast(fp, frames):
+            return _fast_fn(fp, frames, ls, mu_s)
 
     smask = None
     seg = None
@@ -199,10 +192,7 @@ def main(argv=None):
 
         if use_fast_masked:
             from vstnet_tpu.models.pipeline import _mask_to_latent
-            from vstnet_tpu.models.remapping import (
-                video_remap,
-                video_remap_plan,
-            )
+            from vstnet_tpu.models.remapping import video_remap_plan
 
             seg_hw = None
             if args.seg_size and max(h, w) > args.seg_size:
@@ -220,14 +210,27 @@ def main(argv=None):
                 z_s_sp, sm_lat, max_labels=k_cap)
             remap_plan = video_remap_plan(smask, seg.label_mapping)
 
+            # ONE program body (models/pipeline.py builder): in-graph
+            # segment -> composed one-gather remap (video_remap) ->
+            # content-side-only regional cWCT against the precomputed
+            # style factors -> fused decode. 137.7 -> ~35 ms/frame vs
+            # the f32 masked program (PERF.md masked-video section).
             if mesh is not None:
                 from vstnet_tpu.parallel import (
                     parallel_stylize_masked_fused,
                 )
 
-                _sharded_masked = parallel_stylize_masked_fused(
+                _masked_fn = parallel_stylize_masked_fused(
                     mesh, cfg, min_ratio=args.min_ratio, out_u8=True,
                     seg_hw=seg_hw)
+            else:
+                from vstnet_tpu.models.pipeline import (
+                    make_masked_fused_video_fn,
+                )
+
+                _masked_fn = jax.jit(make_masked_fused_video_fn(
+                    cfg, min_ratio=args.min_ratio, out_u8=True,
+                    seg_hw=seg_hw))
 
     @jax.jit
     def stylize_batch(params, frames):
@@ -250,32 +253,6 @@ def main(argv=None):
             return _to_u8(_sharded_std(params, frames, ls, mu_s))
 
     @jax.jit
-    def stylize_batch_masked_fast(fp, seg_params, style_region, remap_plan,
-                                  frames):
-        """Masked stylize on the fused bf16 Pallas path: in-graph segment
-        -> composed one-gather remap (video_remap) -> content-side-only
-        regional cWCT against the precomputed style factors -> fused
-        decode. 137.7 -> ~35 ms/frame vs the f32 masked program (PERF.md
-        masked-video section)."""
-        labels_k, ns_k, mean_s_k, cov_s_k = style_region
-        in_style, cross_tab = remap_plan
-        seg_in = frames
-        if seg_hw is not None:
-            seg_in = resize_bilinear(frames, seg_hw[0], seg_hw[1])
-        cm = segment_mask(seg_params, seg_in)
-        cm = video_remap(cm, in_style, cross_tab, seg.label_mapping,
-                         args.min_ratio)
-        if cm.shape[1:] != frames.shape[1:3]:
-            cm = jax.image.resize(
-                cm, (cm.shape[0], *frames.shape[1:3]), method="nearest")
-        z_c = rf.encode_fast(fp, frames.astype(jnp.bfloat16), cfg)
-        cm_lat = _mask_to_latent(cm, z_c.shape)
-        z_cs = cwct.transfer_masked_factored(
-            z_c, cm_lat, labels_k, ns_k, mean_s_k, cov_s_k)
-        out = rf.decode_fast(fp, z_cs.astype(jnp.bfloat16), cfg)
-        return _to_u8(out.astype(jnp.float32)), cm
-
-    @jax.jit
     def stylize_batch_masked(params, seg_params, frames):
         """Segment -> remap -> masked cWCT -> decode, ONE program: the
         per-frame auto-seg flow of the reference (video_transfer.py:163-184)
@@ -284,13 +261,20 @@ def main(argv=None):
         the host until the writer drains the batch. Segmenter weights are
         an ARGUMENT (not a closure): baked-constant weights blow the
         remote-compile module size through the relay."""
+        from vstnet_tpu.models.pipeline import _mask_to_latent
+
         cm = segment_mask(seg_params, frames)
         cm = self_remapping(cm, seg.label_mapping, args.min_ratio)
         sm_b = jnp.broadcast_to(smask, (frames.shape[0], *smask.shape[-2:]))
         cm = cross_remapping(cm, sm_b, seg.label_mapping)
         z_c = encode(params, frames, cfg)
         z_ss = jnp.broadcast_to(z_s, (frames.shape[0], *z_s.shape[1:]))
-        z_cs = cwct.transfer_masked(z_c, z_ss, cm, sm_b)
+        # masks live on the FRAME grid; the latent grid is smaller for the
+        # artistic profile (latent at 1/2 res) — resample both (the fast
+        # masked path and pipeline.stylize_masked do the same)
+        z_cs = cwct.transfer_masked(z_c, z_ss,
+                                    _mask_to_latent(cm, z_c.shape),
+                                    _mask_to_latent(sm_b, z_ss.shape))
         return _to_u8(decode(params, z_cs, cfg)), cm
 
     vname = os.path.splitext(os.path.basename(args.video))[0]
@@ -343,13 +327,8 @@ def main(argv=None):
             batch_np.append(batch_np[-1])
         x = to_device_batch(batch_np)
         if use_fast_masked:
-            if mesh is not None:
-                out, cm = _sharded_masked(
-                    fast_params, seg.params, seg.label_mapping,
-                    style_region, remap_plan, x)
-            else:
-                out, cm = stylize_batch_masked_fast(
-                    fast_params, seg.params, style_region, remap_plan, x)
+            out, cm = _masked_fn(fast_params, seg.params, seg.label_mapping,
+                                 style_region, remap_plan, x)
             return out, n, cm
         if args.auto_seg:
             out, cm = stylize_batch_masked(model.params, seg.params, x)

@@ -142,6 +142,93 @@ def _mask_to_latent(mask, z_shape):
 
 
 # ---------------------------------------------------------------------------
+# Video tier: per-batch fused programs against per-video precomputed style
+# state. ONE definition serves both execution modes: the video CLI jits
+# these directly on a single device, and parallel/sharding.py wraps the
+# same functions in shard_map for the multi-chip composition.
+# ---------------------------------------------------------------------------
+
+def make_fused_video_fn(cfg: RevResNetConfig, out_u8: bool = False,
+                        interp: bool = False):
+    """fn(fast_params, frames, ls, mu_s[, alpha_c]) -> stylized frames.
+
+    The fused bf16 flat-Pallas global-transfer video program: packed-latent
+    encode -> transfer (or alpha_c-interpolated transfer; alpha_c is a
+    TRACED scalar) against the precomputed packed style factors -> packed
+    decode. The workload of the reference frame loop
+    (/root/reference/video_transfer.py:160-214) with the style factored
+    out of the loop. out_u8 packs the frames to uint8 on-device."""
+    from vstnet_tpu.models import revresnet_fast as rf
+
+    c_lat = cfg.latent_channels
+
+    def fn(fast_params, frames, ls, mu_s, *alpha):
+        # compute in the packed-weight dtype (bf16 in production; f32 in
+        # the exactness tests)
+        dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
+        zp = rf.encode_fast(fast_params, frames.astype(dt), cfg,
+                            packed_latent=True)
+        if interp:
+            z_cs = cwct.interp_with_factors_packed(zp, ls, mu_s, alpha[0],
+                                                   c_lat)
+        else:
+            z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
+        out = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        if out_u8:
+            return jnp.round(out * 255.0).astype(jnp.uint8)
+        return out
+
+    return fn
+
+
+def make_masked_fused_video_fn(cfg: RevResNetConfig, min_ratio: float = 0.02,
+                               out_u8: bool = False, seg_hw=None):
+    """fn(fast_params, seg_params, mapping, style_region, remap_plan,
+    frames) -> (stylized, content_masks).
+
+    The masked (auto-seg) video program: per-frame in-graph segment ->
+    composed one-gather video_remap -> fused bf16 encode -> content-side
+    regional cWCT against per-video style statistics
+    (cwct.style_region_factors) -> fused decode. The per-frame auto-seg
+    flow of the reference (/root/reference/video_transfer.py:163-184) as
+    ONE compiled program.
+
+    seg_hw=(sh, sw): run the segmenter on bilinear-downscaled frames (the
+    reference itself caps the segmenter input, segment.py:477-479; region
+    statistics are insensitive to boundary-pixel precision). The returned
+    masks are upsampled back to frame resolution (nearest)."""
+    from vstnet_tpu.models import revresnet_fast as rf
+    from vstnet_tpu.models.remapping import video_remap
+    from vstnet_tpu.models.segformer import segment_mask
+
+    def fn(fast_params, seg_params, mapping, style_region, remap_plan,
+           frames):
+        labels_k, ns_k, mean_s_k, cov_s_k = style_region
+        in_style, cross_tab = remap_plan
+        seg_in = frames
+        if seg_hw is not None and tuple(seg_hw) != frames.shape[1:3]:
+            seg_in = resize_bilinear(frames, seg_hw[0], seg_hw[1])
+        cm = segment_mask(seg_params, seg_in)
+        cm = video_remap(cm, in_style, cross_tab, mapping, min_ratio)
+        if cm.shape[1:] != frames.shape[1:3]:
+            cm = jax.image.resize(
+                cm, (cm.shape[0], *frames.shape[1:3]), method="nearest")
+        dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
+        z_c = rf.encode_fast(fast_params, frames.astype(dt), cfg)
+        cm_lat = _mask_to_latent(cm, z_c.shape)
+        z_cs = cwct.transfer_masked_factored(
+            z_c, cm_lat, labels_k, ns_k, mean_s_k, cov_s_k)
+        out = rf.decode_fast(fast_params, z_cs.astype(dt), cfg)
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        if out_u8:
+            out = jnp.round(out * 255.0).astype(jnp.uint8)
+        return out, cm
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # Package tier: full photo pipeline with Lab luminance blend
 # ---------------------------------------------------------------------------
 

@@ -241,29 +241,35 @@ class _TileGrid:
         wx = _ramp(self.tw, self.overlap, x0 == 0, x0 + self.tw == self.w)
         return (wy[:, None] * wx[None, :])[..., None]
 
-    def chunks(self, tile_batch: int = TILE_BATCH):
+    def chunks(self, tile_batch: int = TILE_BATCH, need: str = "own"):
         """Tile-batch assembly: (y0s, x0s, owns, wts) device arrays per
         chunk of `tile_batch` tiles; the tail chunk is padded with repeats
         of the last tile carrying ZERO ownership and blend weight, so
-        padded slots contribute nothing to either pass."""
+        padded slots contribute nothing to either pass.
+
+        Each pass consumes only one canvas kind — `need` ("own" for the
+        moment pass, "wt" for the blend pass) skips building and
+        uploading the other, halving a traffic stream on the very host
+        link the tiled path exists to protect (each canvas is a full
+        f32 tile per tile)."""
         items = list(self.tiles())
         for c0 in range(0, len(items), tile_batch):
             chunk = items[c0:c0 + tile_batch]
-            y0s, x0s, owns, wts = [], [], [], []
+            y0s, x0s, canv = [], [], []
             for iy, y0, ix, x0 in chunk:
                 y0s.append(y0)
                 x0s.append(x0)
-                owns.append(self.own_mask(iy, y0, ix, x0))
-                wts.append(self.tile_weight(y0, x0))
+                canv.append(self.own_mask(iy, y0, ix, x0) if need == "own"
+                            else self.tile_weight(y0, x0))
             for _ in range(tile_batch - len(chunk)):
                 y0s.append(y0s[-1])
                 x0s.append(x0s[-1])
-                owns.append(np.zeros_like(owns[-1]))
-                wts.append(np.zeros_like(wts[-1]))
+                canv.append(np.zeros_like(canv[-1]))
+            stacked = jnp.asarray(np.stack(canv))
             yield (jnp.asarray(np.asarray(y0s, np.int32)),
                    jnp.asarray(np.asarray(x0s, np.int32)),
-                   jnp.asarray(np.stack(owns)),
-                   jnp.asarray(np.stack(wts)))
+                   stacked if need == "own" else None,
+                   stacked if need == "wt" else None)
 
 
 def _pick_weights(params, fast_params):
@@ -296,7 +302,7 @@ def stylize_tiled(params, content, style, cfg: RevResNetConfig,
     acc = (jnp.zeros((), jnp.float32),
            jnp.zeros((cfg.latent_channels,), jnp.float32),
            jnp.zeros((cfg.latent_channels,) * 2, jnp.float32))
-    for y0s, x0s, owns, _ in g.chunks(tile_batch):
+    for y0s, x0s, owns, _ in g.chunks(tile_batch, need="own"):
         acc = _moments_chunk(weights, content, y0s, x0s, acc, owns, cfg,
                              g.th, g.tw, fast)
 
@@ -308,7 +314,7 @@ def stylize_tiled(params, content, style, cfg: RevResNetConfig,
     # pass 2: transform + decode + in-graph blend
     out = jnp.zeros((h, w, 3), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
-    for y0s, x0s, _, wts in g.chunks(tile_batch):
+    for y0s, x0s, _, wts in g.chunks(tile_batch, need="wt"):
         out, wsum = _stylize_chunk(weights, content, y0s, x0s, wts,
                                    t_mat, b_vec, out, wsum, cfg,
                                    g.th, g.tw, fast)
@@ -364,7 +370,7 @@ def stylize_tiled_masked(params, content, style, cmask, smask,
     acc = (jnp.zeros((k,), jnp.float32),
            jnp.zeros((k, c), jnp.float32),
            jnp.zeros((k, c, c), jnp.float32))
-    for y0s, x0s, owns, _ in g.chunks(tile_batch):
+    for y0s, x0s, owns, _ in g.chunks(tile_batch, need="own"):
         acc = _moments_chunk_masked(weights, content, y0s, x0s, acc, owns,
                                     cm_lat, labels, cfg, g.th, g.tw, sc,
                                     fast)
@@ -377,7 +383,7 @@ def stylize_tiled_masked(params, content, style, cmask, smask,
     # pass 2: per-region transform + decode + in-graph blend
     out = jnp.zeros((h, w, 3), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
-    for y0s, x0s, _, wts in g.chunks(tile_batch):
+    for y0s, x0s, _, wts in g.chunks(tile_batch, need="wt"):
         out, wsum = _stylize_chunk_masked(
             weights, content, y0s, x0s, wts, cm_lat, labels, (ts, bs),
             valids, out, wsum, cfg, g.th, g.tw, sc, fast)
@@ -414,7 +420,7 @@ def stylize_tiled_interp(params, content, styles, alpha_s,
     acc = (jnp.zeros((), jnp.float32),
            jnp.zeros((cfg.latent_channels,), jnp.float32),
            jnp.zeros((cfg.latent_channels,) * 2, jnp.float32))
-    for y0s, x0s, owns, _ in g.chunks(tile_batch):
+    for y0s, x0s, owns, _ in g.chunks(tile_batch, need="own"):
         acc = _moments_chunk(weights, content, y0s, x0s, acc, owns, cfg,
                              g.th, g.tw, fast)
     n_tot, s1_tot, s2_tot = acc
@@ -429,7 +435,7 @@ def stylize_tiled_interp(params, content, styles, alpha_s,
 
     out = jnp.zeros((h, w, 3), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
-    for y0s, x0s, _, wts in g.chunks(tile_batch):
+    for y0s, x0s, _, wts in g.chunks(tile_batch, need="wt"):
         out, wsum = _stylize_chunk(weights, content, y0s, x0s, wts,
                                    t_mat, b_vec, out, wsum, cfg,
                                    g.th, g.tw, fast)

@@ -106,26 +106,9 @@ def parallel_stylize_fused(mesh: Mesh, cfg: RevResNetConfig,
     interp=True: the returned fn takes a trailing TRACED alpha_c scalar
     and runs the content-blend interpolation (cWCT.py:206-262 semantics)
     via cwct.interp_with_factors_packed — the --alpha_c video path."""
-    from vstnet_tpu.models import revresnet_fast as rf
+    from vstnet_tpu.models.pipeline import make_fused_video_fn
 
-    c_lat = cfg.latent_channels
-
-    def local_fn(fast_params, frames, ls, mu_s, *alpha):
-        # compute in the packed-weight dtype (bf16 in production; f32 in
-        # the exactness tests)
-        dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
-        zp = rf.encode_fast(fast_params, frames.astype(dt), cfg,
-                            packed_latent=True)
-        if interp:
-            z_cs = cwct.interp_with_factors_packed(zp, ls, mu_s, alpha[0],
-                                                   c_lat)
-        else:
-            z_cs = cwct.transfer_with_factors_packed(zp, ls, mu_s, c_lat)
-        out = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
-        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-        if out_u8:
-            return jnp.round(out * 255.0).astype(jnp.uint8)
-        return out
+    local_fn = make_fused_video_fn(cfg, out_u8=out_u8, interp=interp)
 
     specs = (P(), P("data"), P(), P()) + ((P(),) if interp else ())
     sharded = jax.shard_map(
@@ -157,34 +140,10 @@ def parallel_stylize_masked_fused(mesh: Mesh, cfg: RevResNetConfig,
     reference itself caps the segmenter input, segment.py:477-479; region
     statistics are insensitive to boundary-pixel precision). The returned
     masks are upsampled back to frame resolution (nearest)."""
-    from vstnet_tpu.models import revresnet_fast as rf
-    from vstnet_tpu.models.pipeline import _mask_to_latent
-    from vstnet_tpu.models.remapping import video_remap
-    from vstnet_tpu.models.segformer import segment_mask
-    from vstnet_tpu.ops.resize import resize_bilinear
+    from vstnet_tpu.models.pipeline import make_masked_fused_video_fn
 
-    def local_fn(fast_params, seg_params, mapping, style_region,
-                 remap_plan, frames):
-        labels_k, ns_k, mean_s_k, cov_s_k = style_region
-        in_style, cross_tab = remap_plan
-        seg_in = frames
-        if seg_hw is not None and tuple(seg_hw) != frames.shape[1:3]:
-            seg_in = resize_bilinear(frames, seg_hw[0], seg_hw[1])
-        cm = segment_mask(seg_params, seg_in)
-        cm = video_remap(cm, in_style, cross_tab, mapping, min_ratio)
-        if cm.shape[1:] != frames.shape[1:3]:
-            cm = jax.image.resize(
-                cm, (cm.shape[0], *frames.shape[1:3]), method="nearest")
-        dt = jax.tree_util.tree_leaves(fast_params)[0].dtype
-        z_c = rf.encode_fast(fast_params, frames.astype(dt), cfg)
-        cm_lat = _mask_to_latent(cm, z_c.shape)
-        z_cs = cwct.transfer_masked_factored(
-            z_c, cm_lat, labels_k, ns_k, mean_s_k, cov_s_k)
-        out = rf.decode_fast(fast_params, z_cs.astype(dt), cfg)
-        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-        if out_u8:
-            out = jnp.round(out * 255.0).astype(jnp.uint8)
-        return out, cm
+    local_fn = make_masked_fused_video_fn(cfg, min_ratio=min_ratio,
+                                          out_u8=out_u8, seg_hw=seg_hw)
 
     sharded = jax.shard_map(
         local_fn, mesh=mesh,

@@ -431,7 +431,11 @@ def _display_batches(loader_a, loader_b, tc, a, b):
         da = jnp.asarray(loader_a.sample(tc.display_size))
         db = jnp.asarray(loader_b.sample(tc.display_size))
         return da, db
-    except Exception:
+    except (AttributeError, TypeError):
+        return a, b  # loader has no sample() (synthetic batches)
+    except Exception as e:  # operational failure: fall back, but say so
+        print(f"warning: display sampling failed ({e!r}); "
+              "using the current batch for sample grids")
         return a, b
 
 
