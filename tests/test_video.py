@@ -48,3 +48,87 @@ def test_read_frames_directory(tmp_path, rng):
     assert n == 3
     frames = list(it)
     assert len(frames) == 3 and frames[0].shape == (16, 16, 3)
+
+
+def _grad_frames(n, h=24, w=32):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [
+        np.stack([(yy * 5 + k * 16) % 256, (xx * 7) % 256,
+                  ((yy + xx) * 3) % 256], -1).astype(np.uint8)
+        for k in range(n)
+    ]
+
+
+def test_read_frames_avi_lazy_matches_eager(tmp_path):
+    """read_frames decodes per pull (index-only upfront) and must yield
+    exactly what the eager read_avi materializes."""
+    frames = _grad_frames(6)
+    path = str(tmp_path / "lazy.avi")
+    with AviWriter(path, fps=12, quality=95) as w:
+        for f in frames:
+            w.write(f)
+
+    eager, _ = read_avi(path)
+    it, n, fps = read_frames(path)
+    assert n == 6 and fps == pytest.approx(12, rel=0.01)
+    lazy = list(it)
+    assert len(lazy) == 6
+    for a, b in zip(eager, lazy):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_frames_order_and_errors():
+    from vstnet_tpu.io.video import prefetch_frames
+
+    frames = _grad_frames(9)
+    out = list(prefetch_frames(iter(frames), depth=2))
+    assert len(out) == 9
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+    def boom():
+        yield frames[0]
+        raise ValueError("decode failed")
+
+    it = prefetch_frames(boom(), depth=2)
+    np.testing.assert_array_equal(next(it), frames[0])
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)
+
+
+def test_async_writer_matches_sync(tmp_path):
+    from vstnet_tpu.io.video import AsyncWriter
+
+    frames = _grad_frames(7)
+    p_sync = str(tmp_path / "sync.avi")
+    p_async = str(tmp_path / "async.avi")
+
+    w = AviWriter(p_sync, fps=10, quality=95)
+    for f in frames:
+        w.write(f)
+    w.close()
+
+    aw = AsyncWriter(AviWriter(p_async, fps=10, quality=95))
+    assert aw.path == p_async
+    for f in frames:
+        aw.write(f)
+    aw.close()
+
+    with open(p_sync, "rb") as fa, open(p_async, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_async_writer_propagates_errors(tmp_path):
+    from vstnet_tpu.io.video import AsyncWriter
+
+    class FailingWriter:
+        def write(self, frame):
+            raise RuntimeError("disk full")
+
+        def close(self):
+            pass
+
+    aw = AsyncWriter(FailingWriter())
+    aw.write(_grad_frames(1)[0])
+    with pytest.raises(RuntimeError, match="disk full"):
+        aw.close()

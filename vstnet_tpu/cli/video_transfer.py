@@ -82,7 +82,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from vstnet_tpu.io.image import load_image
-    from vstnet_tpu.io.video import AviWriter, read_frames
+    from vstnet_tpu.io.video import (
+        AsyncWriter,
+        AviWriter,
+        prefetch_frames,
+        read_frames,
+    )
     from vstnet_tpu.models import cwct
     from vstnet_tpu.models.pipeline import StyleModel
     from vstnet_tpu.models.revresnet import decode, encode
@@ -106,6 +111,9 @@ def main(argv=None):
     batch_total = args.batch * max(n_dev, 1)
 
     frames_iter, n_frames, src_fps = read_frames(args.video)
+    # decode-ahead thread: JPEG decode overlaps device compute, bounded
+    # at two batches of decoded frames (never the whole video in RAM)
+    frames_iter = prefetch_frames(frames_iter, depth=2 * batch_total)
     first = next(frames_iter)
     h0, w0 = first.shape[:2]
     scale = min(args.max_size / max(h0, w0), 1.0)
@@ -283,21 +291,22 @@ def main(argv=None):
     out_path = os.path.join(args.out_dir, out_name)
     print(f"writing MJPEG AVI to {out_path} "
           "(no mp4 encoder in this environment)")
-    writer = AviWriter(out_path, fps=args.fps)
+    # JPEG encode runs on a writer thread, off the dispatch path
+    writer = AsyncWriter(AviWriter(out_path, fps=args.fps))
 
     label_writer = color_writer = None
     palette = None
     if args.auto_seg and args.save_seg_label:
-        label_writer = AviWriter(
+        label_writer = AsyncWriter(AviWriter(
             os.path.join(args.out_dir, "segmentation", "content_seg_label.avi"),
-            fps=args.fps)
+            fps=args.fps))
     if args.auto_seg and args.save_seg_color:
         from vstnet_tpu.models.remapping import ade20k_palette
 
         palette = ade20k_palette(args.palette)
-        color_writer = AviWriter(
+        color_writer = AsyncWriter(AviWriter(
             os.path.join(args.out_dir, "segmentation", "content_seg_color.avi"),
-            fps=args.fps)
+            fps=args.fps))
 
     def frame_stream():
         yield first

@@ -32,17 +32,16 @@ def _walk_chunks(buf: memoryview, start: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def read_avi(path: str) -> Tuple[List[np.ndarray], float]:
-    """Read an MJPEG AVI -> (frames [HWC uint8 RGB], fps)."""
-    from PIL import Image
+def _index_avi(data: memoryview, path: str):
+    """One cheap structural pass: (frame (offset, size) list, fps).
 
-    with open(path, "rb") as f:
-        data = memoryview(f.read())
+    No JPEG decode happens here — decode cost and memory are paid per
+    frame by the caller, so a long video never has to fit in RAM decoded."""
     if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
         raise ValueError(f"{path}: not an AVI file")
 
     fps = 25.0
-    frames: List[np.ndarray] = []
+    index: List[Tuple[int, int]] = []
 
     def scan_list(start, end):
         nonlocal fps
@@ -52,8 +51,7 @@ def read_avi(path: str) -> Tuple[List[np.ndarray], float]:
                 if list_type == b"movi":
                     for cc, o2, s2 in _walk_chunks(data, off + 4, off + size):
                         if cc[2:4] in (b"dc", b"db") and s2 > 0:
-                            img = Image.open(io.BytesIO(bytes(data[o2:o2 + s2])))
-                            frames.append(np.asarray(img.convert("RGB")))
+                            index.append((o2, s2))
                 else:
                     scan_list(off + 4, off + size)
             elif fourcc == b"avih":
@@ -62,9 +60,26 @@ def read_avi(path: str) -> Tuple[List[np.ndarray], float]:
                     fps = 1e6 / usec_per_frame
 
     scan_list(12, len(data))
-    if not frames:
+    if not index:
         raise ValueError(f"{path}: no MJPEG frames found (codec unsupported?)")
-    return frames, fps
+    return index, fps
+
+
+def _decode_indexed(data: memoryview, index) -> Iterator[np.ndarray]:
+    from PIL import Image
+
+    for off, size in index:
+        img = Image.open(io.BytesIO(bytes(data[off:off + size])))
+        yield np.asarray(img.convert("RGB"))
+
+
+def read_avi(path: str) -> Tuple[List[np.ndarray], float]:
+    """Read an MJPEG AVI -> (frames [HWC uint8 RGB], fps). Eager; for long
+    videos prefer read_frames(), which decodes lazily."""
+    with open(path, "rb") as f:
+        data = memoryview(f.read())
+    index, fps = _index_avi(data, path)
+    return list(_decode_indexed(data, index)), fps
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +171,11 @@ class AviWriter:
 # ---------------------------------------------------------------------------
 
 def read_frames(path: str) -> Tuple[Iterator[np.ndarray], int, float]:
-    """Video file or frame directory -> (frame iterator, count, fps)."""
+    """Video file or frame directory -> (frame iterator, count, fps).
+
+    Frames decode LAZILY (per pull): only the raw container bytes are
+    resident, never the decoded video. Wrap the iterator in
+    prefetch_frames() to overlap JPEG decode with device compute."""
     from PIL import Image
 
     if os.path.isdir(path):
@@ -169,8 +188,98 @@ def read_frames(path: str) -> Tuple[Iterator[np.ndarray], int, float]:
                 yield np.asarray(Image.open(fp).convert("RGB"))
 
         return gen(), len(files), 25.0
-    frames, fps = read_avi(path)
-    return iter(frames), len(frames), fps
+    with open(path, "rb") as f:
+        data = memoryview(f.read())
+    index, fps = _index_avi(data, path)
+    return _decode_indexed(data, index), len(index), fps
+
+
+# ---------------------------------------------------------------------------
+# Async host-side decode/encode (SURVEY §7 hard-part 5: the device should
+# never wait on JPEG work; a 1000-fps device loop dies the moment decode
+# or encode runs synchronously in the dispatch thread)
+# ---------------------------------------------------------------------------
+
+_SENTINEL = object()
+
+
+def prefetch_frames(frames: Iterator[np.ndarray],
+                    depth: int = 64) -> Iterator[np.ndarray]:
+    """Decode-ahead iterator: a daemon thread pulls `frames` into a
+    bounded queue so JPEG decode overlaps device compute. Exceptions in
+    the worker re-raise at the consumer's next pull."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+
+    def work():
+        try:
+            for f in frames:
+                q.put(f)
+            q.put(_SENTINEL)
+        except BaseException as e:  # re-raise on the consumer side
+            q.put(e)
+
+    threading.Thread(target=work, daemon=True).start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    return gen()
+
+
+class AsyncWriter:
+    """Threaded wrapper over a frame writer: write() enqueues, a worker
+    thread runs the (CPU-bound JPEG encode) inner write, close() drains
+    and closes. Worker exceptions re-raise on the caller's next
+    write()/close()."""
+
+    def __init__(self, inner, depth: int = 64):
+        import queue
+        import threading
+
+        self._inner = inner
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                return
+            if self._err is None:
+                try:
+                    self._inner.write(item)
+                except BaseException as e:
+                    self._err = e  # surface on next write()/close()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def write(self, frame: np.ndarray):
+        self._check()
+        self._q.put(frame)
+
+    def close(self):
+        self._q.put(_SENTINEL)
+        self._thread.join()
+        self._check()
+        self._inner.close()
+
+    @property
+    def path(self):
+        return getattr(self._inner, "path", None)
 
 
 def make_writer(path: str, fps: float):
