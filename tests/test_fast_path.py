@@ -385,3 +385,31 @@ def test_stylize_fast_artistic_config(rng):
     z = rf.encode_fast(fast, c.astype(jnp.bfloat16), ART)
     xr = rf.decode_fast(fast, z, ART)
     assert xr.shape == c.shape
+
+
+def test_stylize_interp_multi_fast_agreement(rng):
+    """Fused bf16 multi-style interpolation vs the f32 stylize_interp:
+    same alpha_s factor mixing (cWCT.py:206-262 semantics), PSNR-gated."""
+    from vstnet_tpu.models.pipeline import (
+        stylize_interp,
+        stylize_interp_multi_fast,
+    )
+
+    params = init_revresnet(jax.random.PRNGKey(7), SMALL)
+    fast = rf.pack_revresnet(params, SMALL, dtype=jnp.bfloat16)
+    c = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    s1 = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    s2 = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)) * 0.4, jnp.float32)
+    styles = jnp.concatenate([s1, s2], axis=0)           # (2, 32, 32, 3)
+    w = jnp.asarray([0.3, 0.7])
+
+    def psnr(a, b):
+        mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+        return 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+
+    for a_c in (0.0, 0.25):
+        ref = stylize_interp(params, c, styles[:, None], w, SMALL,
+                             alpha_c=a_c)
+        got = stylize_interp_multi_fast(fast, c, styles, w, SMALL,
+                                        jnp.float32(a_c))
+        assert psnr(got, ref) >= 40.0, f"multi-style fast alpha_c={a_c}"

@@ -30,6 +30,15 @@ def build_parser():
     p.add_argument("--out_dir", type=str, default="output")
     p.add_argument("--max_size", type=int, default=1280)
     p.add_argument("--alpha_c", type=float, default=None)
+    # multi-style interpolation (the reference README's teaser grids,
+    # /root/reference/README.md:108-120; cWCT.interpolation alpha_s path)
+    p.add_argument("--styles", type=str, nargs="+", default=None,
+                   help="two or more style images for multi-style "
+                        "interpolation (global transfer; combine with "
+                        "--alpha_s weights and optionally --alpha_c)")
+    p.add_argument("--alpha_s", type=float, nargs="+", default=None,
+                   help="interpolation weights for --styles "
+                        "(default uniform; normalized to sum to 1)")
     # segmentation
     p.add_argument("--content_seg", type=str, default=None)
     p.add_argument("--style_seg", type=str, default=None)
@@ -59,6 +68,29 @@ def main(argv=None):
     if args.alpha_c is not None and not 0.0 <= args.alpha_c <= 1.0:
         raise SystemExit(
             f"error: --alpha_c must be in [0, 1], got {args.alpha_c}")
+    alpha_s = None
+    if args.styles:
+        if args.auto_seg or args.content_seg or args.style_seg:
+            raise SystemExit(
+                "error: --styles interpolation is a global transfer "
+                "(no segmentation), matching the reference's "
+                "cWCT.interpolation")
+        k = len(args.styles)
+        if args.alpha_s is None:
+            alpha_s = [1.0 / k] * k
+        else:
+            if len(args.alpha_s) != k:
+                raise SystemExit(
+                    f"error: --alpha_s needs {k} weights (one per style), "
+                    f"got {len(args.alpha_s)}")
+            if any(a < 0 for a in args.alpha_s) or sum(args.alpha_s) <= 0:
+                raise SystemExit(
+                    "error: --alpha_s weights must be non-negative with a "
+                    "positive sum")
+            tot = sum(args.alpha_s)
+            alpha_s = [a / tot for a in args.alpha_s]
+    elif args.alpha_s is not None:
+        raise SystemExit("error: --alpha_s requires --styles")
 
     import jax.numpy as jnp
 
@@ -88,7 +120,8 @@ def main(argv=None):
     ds = model.cfg.down_scale
     # uint8 host arrays; normalization happens on device (4x less upload)
     content = load_image(args.content, args.max_size, ds, as_uint8=True)
-    style = load_image(args.style, args.max_size, ds, as_uint8=True)
+    style_paths = args.styles if alpha_s is not None else [args.style]
+    style = load_image(style_paths[0], args.max_size, ds, as_uint8=True)
 
     # segmenter capacity (reference: MAX 1024, segment.py:477): huge images
     # are segmented on a downscaled copy, then the mask is nearest-
@@ -131,6 +164,21 @@ def main(argv=None):
 
     c = device_put_image(content)
     s = device_put_image(style)
+    styles_dev = None
+    if alpha_s is not None:
+        from vstnet_tpu.ops.resize import resize_bilinear as _rb
+
+        # stack every style at the first style's shape (the factors are
+        # statistics — scale-stable; stacking needs one static shape)
+        h1, w1 = s.shape[1:3]
+        parts = [s]
+        for sp in style_paths[1:]:
+            si = device_put_image(
+                load_image(sp, args.max_size, ds, as_uint8=True))
+            if si.shape[1:3] != (h1, w1):
+                si = _rb(si, h1, w1)
+            parts.append(si)
+        styles_dev = jnp.concatenate(parts, axis=0)  # (S, h, w, 3)
     if max(content.shape[1:3]) > args.ultra_threshold:
         # Ultra-resolution: bounded-memory tiled path. All modes are
         # first-class here (the reference demos ultra-res as such,
@@ -156,6 +204,8 @@ def main(argv=None):
             print(f"note: style resized {sh}x{sw} -> {nh}x{nw} for "
                   "factor computation (statistics are scale-stable)")
             s = resize_bilinear(s, nh, nw)
+            if styles_dev is not None:
+                styles_dev = resize_bilinear(styles_dev, nh, nw)
             if smask is not None:
                 smask = np.asarray(jax.image.resize(
                     jnp.asarray(smask), (1, nh, nw), method="nearest"))
@@ -169,10 +219,16 @@ def main(argv=None):
                 model.cfg, tile=args.tile, overlap=args.overlap,
                 max_labels=_cwct.label_capacity(cmask),
                 fast_params=fast_params)
-        elif args.alpha_c is not None:
+        elif alpha_s is not None or args.alpha_c is not None:
+            if alpha_s is not None:
+                s_list = [styles_dev[i:i + 1]
+                          for i in range(styles_dev.shape[0])]
+                a_s = jnp.asarray(alpha_s)
+            else:
+                s_list, a_s = [s], jnp.asarray([1.0])
             out = stylize_tiled_interp(
-                model.params, c, [s], jnp.asarray([1.0]), model.cfg,
-                alpha_c=float(args.alpha_c), tile=args.tile,
+                model.params, c, s_list, a_s, model.cfg,
+                alpha_c=float(args.alpha_c or 0.0), tile=args.tile,
                 overlap=args.overlap, fast_params=fast_params)
         else:
             out = stylize_tiled(model.params, c, s, model.cfg,
@@ -180,12 +236,16 @@ def main(argv=None):
                                 fast_params=fast_params)
         host_check_finite(out)
         cn = os.path.splitext(os.path.basename(args.content))[0]
-        sn = os.path.splitext(os.path.basename(args.style))[0]
+        sn = "+".join(os.path.splitext(os.path.basename(sp))[0]
+                  for sp in style_paths)
         path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
         save_image(out, path)  # device array: uint8-packed readback
         print(f"Save at {path}")
         return path
-    if cmask is not None:
+    if alpha_s is not None:
+        out = model.stylize_multi(c, styles_dev, alpha_s,
+                                  alpha_c=args.alpha_c, fast=args.fast)
+    elif cmask is not None:
         out = model.stylize(c, s, jnp.asarray(cmask), jnp.asarray(smask),
                             fast=args.fast)
     elif args.alpha_c is not None:
@@ -197,7 +257,8 @@ def main(argv=None):
 
     host_check_finite(out)
     cn = os.path.splitext(os.path.basename(args.content))[0]
-    sn = os.path.splitext(os.path.basename(args.style))[0]
+    sn = "+".join(os.path.splitext(os.path.basename(sp))[0]
+                  for sp in style_paths)
     path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
     save_image(out, path)  # device array: uint8-packed readback
     print(f"Save at {path}")

@@ -101,6 +101,32 @@ def stylize_interp_fast(fast_params, content, style, cfg: RevResNetConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def stylize_interp_multi_fast(fast_params, content, styles, alpha_s,
+                              cfg: RevResNetConfig, alpha_c):
+    """Multi-style interpolation on the fused bf16 packed-latent path.
+
+    styles: (S, H, W, 3) stacked style images (encoded as ONE batch);
+    alpha_s: (S,) weights. The per-style packed factors are mixed linearly
+    (reference interpolation semantics, cWCT.py:206-262: alpha_s-weighted
+    sum of coloring Cholesky factors and means), then applied with the
+    traced alpha_c content blend."""
+    from vstnet_tpu.models import revresnet_fast as rf
+
+    c_lat = cfg.latent_channels
+    zp_c = rf.encode_fast(fast_params, content.astype(jnp.bfloat16), cfg,
+                          packed_latent=True)
+    zp_s = rf.encode_fast(fast_params, styles.astype(jnp.bfloat16), cfg,
+                          packed_latent=True)
+    ls_all, mu_all = cwct.style_factors_packed(zp_s, c_lat)  # (S,C,C),(S,C)
+    a = jnp.asarray(alpha_s, jnp.float32)
+    ls = jnp.einsum("s,scd->cd", a, ls_all)[None]
+    mu = jnp.einsum("s,sc->c", a, mu_all)[None]
+    z_cs = cwct.interp_with_factors_packed(zp_c, ls, mu, alpha_c, c_lat)
+    out = rf.decode_fast(fast_params, z_cs, cfg, packed_latent=True)
+    return out.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def stylize_fast(fast_params, content, style, cfg: RevResNetConfig):
     """Global stylization on the fused bf16 Pallas path with the packed
     latent (the transfer commutes with the final pixel shuffles, so both
@@ -406,6 +432,22 @@ class StyleModel:
         if fast:
             return stylize_fast(self.fast_params, content, style, self.cfg)
         return stylize(self.params, content, style, self.cfg)
+
+    def stylize_multi(self, content, styles, alpha_s, alpha_c=None,
+                      fast: bool = False):
+        """Multi-style interpolation (the reference README's teaser grid,
+        README.md:108-120): styles (S, H, W, 3) stacked at one shape,
+        alpha_s (S,) weights (caller-normalized), optional alpha_c content
+        blend. Global transfer only (matches the reference's
+        interpolation path — no masks)."""
+        a_c = jnp.float32(0.0 if alpha_c is None else alpha_c)
+        if fast:
+            return stylize_interp_multi_fast(
+                self.fast_params, content, styles, jnp.asarray(alpha_s),
+                self.cfg, a_c)
+        return stylize_interp(
+            self.params, content, styles[:, None], jnp.asarray(alpha_s),
+            self.cfg, alpha_c=a_c)
 
     def photo_pipeline(self, c_image, s_image, cmask=None, smask=None,
                        fast: bool = False):
