@@ -98,7 +98,7 @@ bool parse_signature(const std::string& mlir,
   }
   size_t next;
   if (!parse_at(arrow, body, &next, output)) return false;
-  return inputs->size() >= 2;
+  return inputs->size() >= 1;
 }
 
 // Client create options for the relay TPU plugin (mirrors
@@ -172,13 +172,17 @@ void fix_layout(void* eng, int out_idx, const std::vector<int64_t>& shape,
 
 void usage() {
   std::fprintf(stderr,
-               "vstnet-native: stylize images with an AOT StableHLO artifact "
+               "vstnet-native: run an AOT StableHLO artifact on images "
                "(no Python/JAX at runtime)\n\n"
-               "usage: vstnet-native --artifact F --style S [-o DIR] "
-               "[--plugin P.so] content.png [content2.png ...]\n"
-               "  -a, --artifact  StableHLO module from export_stylize "
-               "(weights baked)\n"
-               "  -s, --style     style image (PNG or P6 PPM)\n"
+               "usage: vstnet-native --artifact F [--style S] [-o DIR] "
+               "[--plugin P.so] image.png [image2.png ...]\n"
+               "  -a, --artifact  StableHLO module (weights baked): a\n"
+               "                  2-input stylize program (export_stylize,\n"
+               "                  needs --style) or a 1-input program such\n"
+               "                  as the segment-render artifact\n"
+               "                  (export_segment_render) — the mode is\n"
+               "                  read from the artifact's @main signature\n"
+               "  -s, --style     style image (PNG or P6 PPM); 2-input only\n"
                "  -o, --out_dir   output directory (default: output)\n"
                "  -p, --plugin    PJRT plugin .so (default: relay TPU "
                "plugin, then libtpu)\n");
@@ -206,7 +210,7 @@ int main(int argc, char** argv) {
       default: usage(); return c == 'h' ? 0 : 2;
     }
   }
-  if (artifact.empty() || style_path.empty() || optind >= argc) {
+  if (artifact.empty() || optind >= argc) {
     usage();
     return 2;
   }
@@ -219,11 +223,18 @@ int main(int argc, char** argv) {
   std::vector<std::vector<int64_t>> in_shapes;
   std::vector<int64_t> out_shape;
   if (!parse_signature(mlir, &in_shapes, &out_shape) ||
-      in_shapes[0].size() != 4 || in_shapes[1].size() != 4) {
+      in_shapes[0].size() != 4 ||
+      (in_shapes.size() > 1 && in_shapes[1].size() != 4)) {
     std::fprintf(stderr,
                  "error: artifact @main signature not recognized (expect "
-                 "two NHWC f32 image inputs)\n");
+                 "one or two NHWC f32 image inputs)\n");
     return 1;
+  }
+  int n_in = (int)in_shapes.size() >= 2 ? 2 : 1;
+  if (n_in == 2 && style_path.empty()) {
+    std::fprintf(stderr,
+                 "error: 2-input (stylize) artifact needs --style\n");
+    return 2;
   }
   int64_t b = in_shapes[0][0], H = in_shapes[0][1], W = in_shapes[0][2];
   if (b != 1) {
@@ -260,13 +271,16 @@ int main(int argc, char** argv) {
   std::printf("compiled\n");
 
   std::string err;
-  vstimg::Image style;
-  if (!vstimg::load_image(style_path, &style, &err)) {
-    std::fprintf(stderr, "error: style: %s\n", err.c_str());
-    engine_destroy(eng);
-    return 1;
+  vstimg::Image style_r;
+  if (n_in == 2) {
+    vstimg::Image style;
+    if (!vstimg::load_image(style_path, &style, &err)) {
+      std::fprintf(stderr, "error: style: %s\n", err.c_str());
+      engine_destroy(eng);
+      return 1;
+    }
+    style_r = vstimg::resize_bilinear(style, (int)H, (int)W);
   }
-  vstimg::Image style_r = vstimg::resize_bilinear(style, (int)H, (int)W);
 
   std::string mkdir_cmd = "mkdir -p '" + out_dir + "'";
   if (std::system(mkdir_cmd.c_str()) != 0) {
@@ -280,7 +294,7 @@ int main(int argc, char** argv) {
     size_t d = base.find_last_of('.');
     return d == std::string::npos ? base : base.substr(0, d);
   };
-  std::string sstem = stem(style_path);
+  std::string sstem = n_in == 2 ? stem(style_path) : "seg";
 
   int failures = 0;
   for (int i = optind; i < argc; i++) {
@@ -293,7 +307,8 @@ int main(int argc, char** argv) {
     vstimg::Image content_r =
         vstimg::resize_bilinear(content, (int)H, (int)W);
 
-    const float* ins[2] = {content_r.rgb.data(), style_r.rgb.data()};
+    const float* ins[2] = {content_r.rgb.data(),
+                           n_in == 2 ? style_r.rgb.data() : nullptr};
     int32_t ndims[2] = {4, 4};
     int64_t dims[8] = {1, H, W, 3, 1, H, W, 3};
     int64_t out_n = 1;
@@ -301,7 +316,8 @@ int main(int argc, char** argv) {
     std::vector<float> out((size_t)out_n);
     float* outs[1] = {out.data()};
     int64_t out_sizes[1] = {out_n};
-    if (engine_execute(eng, 2, ins, ndims, dims, 1, outs, out_sizes) != 0) {
+    if (engine_execute(eng, n_in, ins, ndims, dims, 1, outs,
+                       out_sizes) != 0) {
       std::fprintf(stderr, "error: execute: %s\n", engine_last_error(eng));
       failures++;
       continue;

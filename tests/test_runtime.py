@@ -136,6 +136,37 @@ def test_exported_segmenter_parity(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_exported_segment_render_parity(rng):
+    """Segment-render artifact (the reference native binary's whole job,
+    main.cpp:75-98 + segment.cpp:38-137, here fully in-graph with the
+    palette baked): deserialized module must reproduce the live
+    segment -> self-remap -> palette -> blend composition exactly."""
+    from vstnet_tpu.models.remapping import (
+        ade20k_palette,
+        load_label_mapping,
+        self_remapping,
+    )
+    from vstnet_tpu.models.segformer import init_segformer, segment_mask
+    from vstnet_tpu.runtime.export import export_segment_render
+
+    seg_params = init_segformer(jax.random.PRNGKey(3))
+    h = w = 64
+    blob, oshape = export_segment_render(seg_params, h, w, blend=0.5,
+                                         serialized=True)
+    x = jnp.asarray(rng.uniform(size=(1, h, w, 3)), jnp.float32)
+    got = np.asarray(_roundtrip(blob)(x))
+    assert got.shape == oshape
+
+    m = self_remapping(segment_mask(seg_params, x), load_label_mapping(),
+                       0.02)
+    pal = jnp.asarray(ade20k_palette(), jnp.float32) / 255.0
+    color = pal[jnp.clip(m, 0, pal.shape[0] - 1)]
+    ref = np.asarray(jnp.clip(0.5 * color + 0.5 * x, 0.0, 1.0))
+    np.testing.assert_allclose(got, ref, rtol=0.01, atol=0.01)
+    # outputs are renderable images in [0, 1]
+    assert got.min() >= 0.0 and got.max() <= 1.0
+
+
 def test_profiling_trace_and_memory(tmp_path):
     """runtime/profiling: a jitted call under trace() writes a capture,
     and the static memory analysis reports the compiled buffer sizes

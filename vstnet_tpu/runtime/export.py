@@ -116,6 +116,49 @@ def export_segmenter(seg_params, h: int, w: int, batch: int = 1,
     return blob, (batch, h, w)
 
 
+def export_segment_render(seg_params, h: int, w: int, blend: float = 0.5,
+                          min_ratio: float = 0.02, platforms=None,
+                          serialized: bool = False, label_mapping=None,
+                          palette=None):
+    """Segment-and-render artifact: the reference native binary's whole
+    job (project/ggml/main.cpp:75-98 drives SegmentModel only; its
+    post-proc — segment_remove_holes + palette render + 50/50 blend —
+    lives in project/ggml/src/segment.cpp:38-137 against compiled-in
+    ade20k.h data tables). Here ALL of it is in-graph: segment ->
+    self-remap (hole removal) -> palette gather -> blend, with the
+    ADE20K palette and relation table baked as graph constants — the
+    native driver stays a generic artifact runner with zero data tables.
+
+    Output: (1, H, W, 3) f32 in [0,1] — blend * palette_color +
+    (1 - blend) * input. blend=1.0 gives the pure label-color render."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstnet_tpu.models.remapping import (
+        ade20k_palette,
+        load_label_mapping,
+        self_remapping,
+    )
+    from vstnet_tpu.models.segformer import segment_mask
+
+    mapping = (load_label_mapping() if label_mapping is None
+               else label_mapping)
+    pal = jnp.asarray(
+        (ade20k_palette() if palette is None else palette),
+        jnp.float32) / 255.0
+
+    def render(x):
+        m = segment_mask(seg_params, x)
+        m = self_remapping(m, mapping, min_ratio)
+        color = pal[jnp.clip(m, 0, pal.shape[0] - 1)]
+        return jnp.clip(blend * color + (1.0 - blend) * x, 0.0, 1.0)
+
+    img = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+    exp = _export(render, (img,), platforms)
+    blob = exp.serialize() if serialized else exp.mlir_module().encode()
+    return blob, (1, h, w, 3)
+
+
 def save_exported(path: str, mlir_bytes: bytes):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
