@@ -32,7 +32,12 @@ constexpr uint64_t kDefaultAlign = 32;
 
 // ggml dtype ids we support (Q8_0: 32-element blocks of f16 scale + 32
 // int8 quants — the common quantized interop format beyond f16)
-enum GgmlType : uint32_t { GGML_F32 = 0, GGML_F16 = 1, GGML_Q8_0 = 8 };
+enum GgmlType : uint32_t {
+  GGML_F32 = 0,
+  GGML_F16 = 1,
+  GGML_Q4_0 = 2,
+  GGML_Q8_0 = 8,
+};
 
 // gguf metadata value types
 enum GgufKvType : uint32_t {
@@ -254,6 +259,23 @@ int32_t gguf_tensor_f32(void* h, int64_t i, float* out) {
       float d = f16_to_f32(dh);
       const int8_t* q = reinterpret_cast<const int8_t*>(b + 2);
       for (int k = 0; k < 32; k++) out[blk * 32 + k] = d * (float)q[k];
+    }
+    return 0;
+  }
+  if (ti.type == GGML_Q4_0) {
+    // block = f16 scale + 16 nibble bytes; element j is the low nibble of
+    // qs[j], element j+16 the high nibble; x = d * (q - 8)
+    if (n % 32 != 0) return -1;
+    for (uint64_t blk = 0; blk < n / 32; blk++) {
+      const uint8_t* b = src + blk * 18;
+      uint16_t dh;
+      std::memcpy(&dh, b, 2);
+      float d = f16_to_f32(dh);
+      const uint8_t* q = b + 2;
+      for (int j = 0; j < 16; j++) {
+        out[blk * 32 + j] = d * (float)((int)(q[j] & 0x0F) - 8);
+        out[blk * 32 + 16 + j] = d * (float)((int)(q[j] >> 4) - 8);
+      }
     }
     return 0;
   }

@@ -105,3 +105,38 @@ def test_gguf_q8_0_rejects_bad_size(tmp_path, rng):
     with pytest.raises(ValueError, match="32"):
         write_gguf(str(tmp_path / "x.gguf"),
                    {"w": np.ones(33, np.float32)}, dtype="q8_0")
+
+
+def test_gguf_q4_0_roundtrip(tmp_path, rng):
+    """Q4_0 (32-block f16 scale + packed nibbles, x = d*(q-8)): ~3%
+    quantization error; both the Python and native codecs dequantize it,
+    bit-identically to each other."""
+    from vstnet_tpu.io.gguf import read_gguf, write_gguf, _read_python
+
+    t = {
+        "w": rng.standard_normal((8, 64)).astype(np.float32),
+        "b": (rng.standard_normal(32) * 10).astype(np.float32),
+    }
+    p = str(tmp_path / "q4.gguf")
+    write_gguf(p, t, dtype="q4_0")
+
+    results = []
+    for reader in (read_gguf, _read_python):
+        back = reader(p)
+        results.append(back)
+        for k, v in t.items():
+            assert back[k].shape == v.shape
+            scale = np.abs(v).max() / 8.0
+            np.testing.assert_allclose(back[k], v, atol=scale * 1.01)
+            err = np.abs(back[k] - v).mean() / (np.abs(v).mean() + 1e-9)
+            assert err < 0.15, f"{k}: mean rel err {err}"
+    for k in t:  # native and Python dequant agree exactly
+        np.testing.assert_array_equal(results[0][k], results[1][k])
+
+
+def test_gguf_q4_0_rejects_bad_size(tmp_path, rng):
+    from vstnet_tpu.io.gguf import write_gguf
+
+    with pytest.raises(ValueError, match="32"):
+        write_gguf(str(tmp_path / "x.gguf"),
+                   {"w": np.ones(33, np.float32)}, dtype="q4_0")

@@ -23,7 +23,7 @@ _NATIVE_PATH = os.path.join(
     "libvstnet_gguf.so",
 )
 
-GGML_F32, GGML_F16, GGML_Q8_0 = 0, 1, 8
+GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q8_0 = 0, 1, 2, 8
 _MAGIC = 0x46554747
 _ALIGN = 32
 
@@ -169,11 +169,24 @@ def _read_python(path: str) -> Dict[str, np.ndarray]:
             d = raw[:, :2].copy().view(np.float16).astype(np.float32)
             q = raw[:, 2:].copy().view(np.int8).astype(np.float32)
             arr = (d * q).reshape(-1)
+        elif ttype == GGML_Q4_0:
+            # block = f16 scale + 16 nibble bytes; element j is the low
+            # nibble of qs[j], element j+16 the high nibble; x = d*(q-8)
+            if n % 32:
+                raise ValueError(f"tensor {name}: Q4_0 needs n % 32 == 0")
+            raw = np.frombuffer(buf, np.uint8, (n // 32) * 18,
+                                data_start + off).reshape(n // 32, 18)
+            d = raw[:, :2].copy().view(np.float16).astype(np.float32)
+            qs = raw[:, 2:]
+            lo = (qs & 0x0F).astype(np.float32) - 8.0
+            hi = (qs >> 4).astype(np.float32) - 8.0
+            arr = (d * np.concatenate([lo, hi], axis=1)).reshape(-1)
         else:
             raise ValueError(
                 f"tensor {name}: unsupported ggml type {ttype} "
-                "(supported: F32, F16, Q8_0 — the reference loader's own "
-                "scope is f16 models, project/ggml/main.cpp:80)")
+                "(supported: F32, F16, Q4_0, Q8_0 — the reference "
+                "loader's own scope is f16 models, "
+                "project/ggml/main.cpp:80)")
         out[name] = arr.reshape(shape)
     return out
 
@@ -186,10 +199,11 @@ def write_gguf(path: str, tensors: Dict[str, np.ndarray],
                dtype: str = "f16"):
     """Write {name: numpy array} (any float dtype in) as GGUF
     f16/f32/q8_0."""
-    if dtype == "q8_0":
+    if dtype in ("q8_0", "q4_0"):
         items = [(k, np.ascontiguousarray(v, np.float32))
                  for k, v in tensors.items()]
-        return _write_python(path, items, GGML_Q8_0)
+        return _write_python(
+            path, items, GGML_Q8_0 if dtype == "q8_0" else GGML_Q4_0)
     lib = _native()
     ttype = GGML_F16 if dtype == "f16" else GGML_F32
     items = [(k, np.ascontiguousarray(v, np.float32))
@@ -235,6 +249,8 @@ def _write_python(path, items, ttype):
     for name, v in items:
         if ttype == GGML_Q8_0:
             data = _q8_0_quantize(v)
+        elif ttype == GGML_Q4_0:
+            data = _q4_0_quantize(v)
         else:
             data = (v.astype(np.float16) if ttype == GGML_F16 else
                     v).tobytes()
@@ -255,6 +271,26 @@ def _write_python(path, items, ttype):
             p2 = (_ALIGN - len(data) % _ALIGN) % _ALIGN
             f.write(b"\x00" * p2)
     return path
+
+
+def _q4_0_quantize(v: np.ndarray) -> bytes:
+    """f32 -> Q4_0 blocks (ggml block_q4_0: f16 scale d + 32 4-bit quants
+    packed two per byte; d = signed_max/-8 per block, q = round(x/d)+8 in
+    [0, 15], element j in the low nibble of byte j, j+16 in the high)."""
+    flat = v.reshape(-1)
+    if flat.size % 32:
+        raise ValueError("Q4_0 requires element count % 32 == 0 "
+                         f"(got {flat.size})")
+    blocks = flat.reshape(-1, 32)
+    idx = np.abs(blocks).argmax(axis=1)
+    maxv = blocks[np.arange(len(blocks)), idx]  # signed extreme
+    d = (maxv / -8.0).astype(np.float32)
+    inv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+    q = np.clip(np.round(blocks * inv[:, None]) + 8.0, 0, 15).astype(np.uint8)
+    out = np.empty((blocks.shape[0], 18), np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.tobytes()
 
 
 def _q8_0_quantize(v: np.ndarray) -> bytes:
