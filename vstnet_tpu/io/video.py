@@ -281,9 +281,3 @@ class AsyncWriter:
     def path(self):
         return getattr(self._inner, "path", None)
 
-
-def make_writer(path: str, fps: float):
-    """AVI for .avi outputs; frame directory otherwise (no mp4 encoder in
-    this environment — .mp4 requests are written as MJPEG .avi with a
-    warning at the CLI layer)."""
-    return AviWriter(path, fps)
