@@ -236,6 +236,12 @@ int main(int argc, char** argv) {
                  "error: 2-input (stylize) artifact needs --style\n");
     return 2;
   }
+  if (n_in == 1 && !style_path.empty()) {
+    std::fprintf(stderr,
+                 "error: --style given but the artifact takes ONE input "
+                 "(segment-render mode) — it would be silently ignored\n");
+    return 2;
+  }
   int64_t b = in_shapes[0][0], H = in_shapes[0][1], W = in_shapes[0][2];
   if (b != 1) {
     std::fprintf(stderr, "error: driver expects a batch-1 artifact\n");

@@ -172,3 +172,25 @@ def test_native_driver_stylize_requires_style(tmp_path):
         capture_output=True, text=True, timeout=60)
     assert r.returncode == 2
     assert "needs --style" in r.stderr
+
+
+@pytest.mark.skipif(not os.path.exists(DRIVER),
+                    reason="vstnet-native not built (make main)")
+def test_native_driver_segment_rejects_style(tmp_path):
+    """--style with a 1-input artifact is a clean error (it would be
+    silently ignored otherwise); checked before any device/plugin work."""
+    art = tmp_path / "fake1.mlir"
+    art.write_text(
+        "func.func public @main(%a: tensor<1x8x8x3xf32>) "
+        "-> (tensor<1x8x8x3xf32>) {\n"
+        "  return %a : tensor<1x8x8x3xf32>\n}\n")
+    img = tmp_path / "x.png"
+    from PIL import Image
+
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img)
+    r = subprocess.run(
+        [DRIVER, "--artifact", str(art), "--style", str(img),
+         "-o", str(tmp_path), str(img)],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2
+    assert "ONE input" in r.stderr

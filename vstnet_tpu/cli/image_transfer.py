@@ -162,6 +162,18 @@ def main(argv=None):
         cmask = load_segment_image(args.content_seg, content.shape[1:3])
         smask = load_segment_image(args.style_seg, style.shape[1:3])
 
+    def _finish(out):
+        from vstnet_tpu.models.cwct import host_check_finite
+
+        host_check_finite(out)
+        cn = os.path.splitext(os.path.basename(args.content))[0]
+        sn = "+".join(os.path.splitext(os.path.basename(sp))[0]
+                      for sp in style_paths)
+        path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
+        save_image(out, path)  # device array: uint8-packed readback
+        print(f"Save at {path}")
+        return path
+
     c = device_put_image(content)
     s = device_put_image(style)
     styles_dev = None
@@ -188,7 +200,6 @@ def main(argv=None):
         import jax
 
         from vstnet_tpu.models import cwct as _cwct
-        from vstnet_tpu.models.cwct import host_check_finite
         from vstnet_tpu.models.ultra import (
             stylize_tiled,
             stylize_tiled_interp,
@@ -234,14 +245,7 @@ def main(argv=None):
             out = stylize_tiled(model.params, c, s, model.cfg,
                                 tile=args.tile, overlap=args.overlap,
                                 fast_params=fast_params)
-        host_check_finite(out)
-        cn = os.path.splitext(os.path.basename(args.content))[0]
-        sn = "+".join(os.path.splitext(os.path.basename(sp))[0]
-                  for sp in style_paths)
-        path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
-        save_image(out, path)  # device array: uint8-packed readback
-        print(f"Save at {path}")
-        return path
+        return _finish(out)
     if alpha_s is not None:
         out = model.stylize_multi(c, styles_dev, alpha_s,
                                   alpha_c=args.alpha_c, fast=args.fast)
@@ -253,16 +257,7 @@ def main(argv=None):
     else:
         out = model.stylize(c, s, fast=args.fast)
 
-    from vstnet_tpu.models.cwct import host_check_finite
-
-    host_check_finite(out)
-    cn = os.path.splitext(os.path.basename(args.content))[0]
-    sn = "+".join(os.path.splitext(os.path.basename(sp))[0]
-                  for sp in style_paths)
-    path = os.path.join(args.out_dir, f"{cn}_{sn}.png")
-    save_image(out, path)  # device array: uint8-packed readback
-    print(f"Save at {path}")
-    return path
+    return _finish(out)
 
 
 def _maybe_save_seg(args, cmask, smask):

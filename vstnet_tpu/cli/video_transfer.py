@@ -362,11 +362,18 @@ def main(argv=None):
     for p in pending:
         done += _drain(p, writer, label_writer, color_writer, palette)
 
-    writer.close()
-    if label_writer:
-        label_writer.close()
-    if color_writer:
-        color_writer.close()
+    # close every writer even if one fails (AviWriter finalizes its
+    # container in close(); skipping one would silently drop that video)
+    close_err = None
+    for wtr in (writer, label_writer, color_writer):
+        if wtr is None:
+            continue
+        try:
+            wtr.close()
+        except Exception as e:
+            close_err = close_err or e
+    if close_err is not None:
+        raise close_err
     dt = time.time() - t0
     print(f"Save at {out_path}: {done} frames at {w}x{h}, "
           f"{done / dt:.1f} frames/sec end-to-end")

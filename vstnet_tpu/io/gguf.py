@@ -198,7 +198,7 @@ def _read_python(path: str) -> Dict[str, np.ndarray]:
 def write_gguf(path: str, tensors: Dict[str, np.ndarray],
                dtype: str = "f16"):
     """Write {name: numpy array} (any float dtype in) as GGUF
-    f16/f32/q8_0."""
+    f16/f32/q8_0/q4_0."""
     if dtype in ("q8_0", "q4_0"):
         items = [(k, np.ascontiguousarray(v, np.float32))
                  for k, v in tensors.items()]

@@ -264,8 +264,7 @@ class AsyncWriter:
 
     def _check(self):
         if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+            raise self._err  # sticky: a failed stream stays failed
 
     def write(self, frame: np.ndarray):
         self._check()
@@ -274,8 +273,10 @@ class AsyncWriter:
     def close(self):
         self._q.put(_SENTINEL)
         self._thread.join()
-        self._check()
-        self._inner.close()
+        try:
+            self._inner.close()  # always finalize the container
+        finally:
+            self._check()  # then surface any worker failure
 
     @property
     def path(self):

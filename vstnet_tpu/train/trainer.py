@@ -428,11 +428,11 @@ def _display_batches(loader_a, loader_b, tc, a, b):
     (train.py:222-224); falls back to the current batch when the loaders
     can't sample (e.g. synthetic-batch tests driving train_step directly)."""
     try:
+        if not (hasattr(loader_a, "sample") and hasattr(loader_b, "sample")):
+            return a, b  # loader has no sample() (synthetic batches)
         da = jnp.asarray(loader_a.sample(tc.display_size))
         db = jnp.asarray(loader_b.sample(tc.display_size))
         return da, db
-    except (AttributeError, TypeError):
-        return a, b  # loader has no sample() (synthetic batches)
     except Exception as e:  # operational failure: fall back, but say so
         print(f"warning: display sampling failed ({e!r}); "
               "using the current batch for sample grids")
