@@ -132,3 +132,34 @@ def test_async_writer_propagates_errors(tmp_path):
     aw.write(_grad_frames(1)[0])
     with pytest.raises(RuntimeError, match="disk full"):
         aw.close()
+
+
+def test_mp4_write_read_roundtrip(tmp_path):
+    """cv2-backed .mp4 (the reference's output container, mp4v fourcc):
+    make_video_writer routes by extension, read_frames decodes it back."""
+    from vstnet_tpu.io.video import have_cv2, make_video_writer, read_frames
+
+    if not have_cv2():
+        pytest.skip("cv2 not installed")
+    frames = _grad_frames(6, h=48, w=64)
+    p = str(tmp_path / "out.mp4")
+    w = make_video_writer(p, fps=10)
+    assert type(w).__name__ == "Cv2Writer"
+    for f in frames:
+        w.write(f)
+    w.close()
+
+    it, n, fps = read_frames(p)
+    back = list(it)
+    assert n == 6 and len(back) == 6
+    assert fps == pytest.approx(10, rel=0.01)
+    assert back[0].shape == (48, 64, 3)
+    err = np.abs(back[0].astype(int) - frames[0].astype(int)).mean()
+    assert err < 16, f"mean abs err {err}"
+
+
+def test_make_video_writer_avi_is_pure_python(tmp_path):
+    from vstnet_tpu.io.video import make_video_writer
+
+    w = make_video_writer(str(tmp_path / "x.avi"), fps=10)
+    assert type(w).__name__ == "AviWriter"

@@ -40,13 +40,14 @@ def test_video_cli_multidevice_global(tiny_video, small_model, tmp_path):
     """Default path: frames sharded over all 8 virtual devices through
     parallel_stylize_factored; output video has every input frame."""
     from vstnet_tpu.cli.video_transfer import main
-    from vstnet_tpu.io.video import read_avi
+    from vstnet_tpu.io.video import read_avi, read_frames
 
     vdir, spath = tiny_video
     out = main(["--video", vdir, "--style", spath,
                 "--out_dir", str(tmp_path / "out"),
                 "--batch", "1", "--precision", "f32", "--max_size", "32"])
-    frames, fps = read_avi(out)
+    frames_it, _n, fps = read_frames(out)
+    frames = list(frames_it)
     assert len(frames) == 6
     assert frames[0].shape == (32, 32, 3)
 
@@ -57,7 +58,7 @@ def test_video_cli_autoseg_async(tiny_video, small_model, tmp_path,
     also writes the seg label/color debug videos."""
     import vstnet_tpu.models.segformer as sf
     from vstnet_tpu.cli.video_transfer import main
-    from vstnet_tpu.io.video import read_avi
+    from vstnet_tpu.io.video import read_avi, read_frames
 
     orig_load = sf.Segmenter.load
 
@@ -72,7 +73,8 @@ def test_video_cli_autoseg_async(tiny_video, small_model, tmp_path,
     out = main(["--video", vdir, "--style", spath, "--out_dir", str(odir),
                 "--batch", "1", "--precision", "f32", "--max_size", "32",
                 "--auto_seg"])
-    frames, _ = read_avi(out)
+    frames_it, _n, _ = read_frames(out)
+    frames = list(frames_it)
     assert len(frames) == 6
     lbl, _ = read_avi(str(odir / "segmentation" / "content_seg_label.avi"))
     col, _ = read_avi(str(odir / "segmentation" / "content_seg_color.avi"))

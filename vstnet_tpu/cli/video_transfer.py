@@ -285,14 +285,22 @@ def main(argv=None):
                                     _mask_to_latent(sm_b, z_ss.shape))
         return _to_u8(decode(params, z_cs, cfg)), cm
 
+    from vstnet_tpu.io.video import have_cv2, make_video_writer
+
     vname = os.path.splitext(os.path.basename(args.video))[0]
     sname = os.path.splitext(os.path.basename(args.style))[0]
-    out_name = f"{vname}_{sname}.avi"
+    # reference output: <video>_<style>.mp4 (video_transfer.py:92-96);
+    # MJPEG AVI fallback when no mp4 encoder exists in the environment
+    ext = ".mp4" if have_cv2() else ".avi"
+    out_name = f"{vname}_{sname}{ext}"
     out_path = os.path.join(args.out_dir, out_name)
-    print(f"writing MJPEG AVI to {out_path} "
-          "(no mp4 encoder in this environment)")
-    # JPEG encode runs on a writer thread, off the dispatch path
-    writer = AsyncWriter(AviWriter(out_path, fps=args.fps))
+    if ext == ".avi":
+        print(f"writing MJPEG AVI to {out_path} "
+              "(no mp4 encoder in this environment)")
+    else:
+        print(f"writing mp4 to {out_path}")
+    # frame encode runs on a writer thread, off the dispatch path
+    writer = AsyncWriter(make_video_writer(out_path, fps=args.fps))
 
     label_writer = color_writer = None
     palette = None

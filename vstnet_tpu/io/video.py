@@ -1,10 +1,13 @@
-"""Video I/O without external codec libraries.
+"""Video I/O.
 
-This image has no cv2/ffmpeg/imageio, so video support is built on:
+Three sources/sinks, in order of preference:
   * a pure-Python RIFF/AVI parser+writer for MJPEG (each frame is a JPEG,
-    decoded/encoded by PIL) — the reference's own sample video
-    (data/content/04.avi) is MJPG, and the reference writes its seg debug
-    videos as MJPG too (video_transfer.py:99-106);
+    decoded/encoded by PIL) — owns the .avi path: the reference's own
+    sample video (data/content/04.avi) is MJPG, the reference writes its
+    seg debug videos as MJPG (video_transfer.py:99-106), and keeping the
+    codec in-repo makes .avi round trips deterministic and dependency-free;
+  * cv2 (when importable) for every other container — notably .mp4 with
+    the reference's mp4v fourcc (video_transfer.py:94-96), read and write;
   * frame-directory mode (sorted images), which the reference also supports
     (video_transfer.py:68-70).
 """
@@ -167,6 +170,75 @@ class AviWriter:
 
 
 # ---------------------------------------------------------------------------
+# cv2-backed container support (.mp4 and friends)
+# ---------------------------------------------------------------------------
+
+def _cv2():
+    try:
+        import cv2
+
+        return cv2
+    except Exception:
+        return None
+
+
+def have_cv2() -> bool:
+    return _cv2() is not None
+
+
+class Cv2Writer:
+    """cv2.VideoWriter wrapper (RGB frames in; the reference's mp4v
+    fourcc for .mp4, video_transfer.py:94-96)."""
+
+    def __init__(self, path: str, fps: float = 25.0, fourcc: str = "mp4v"):
+        cv2 = _cv2()
+        if cv2 is None:
+            raise RuntimeError("cv2 not available; use AviWriter")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self.fps = fps
+        self._cv2 = cv2
+        self._fourcc = cv2.VideoWriter_fourcc(*fourcc)
+        self._w = None
+
+    def write(self, frame: np.ndarray):
+        """frame: HWC uint8 RGB (or float [0,1])."""
+        if frame.dtype != np.uint8:
+            frame = np.clip(np.asarray(frame) * 255.0, 0, 255).astype(np.uint8)
+        if self._w is None:
+            h, w = frame.shape[:2]
+            self._w = self._cv2.VideoWriter(
+                self.path, self._fourcc, self.fps, (w, h))
+            if not self._w.isOpened():
+                raise IOError(f"cv2.VideoWriter failed to open {self.path}")
+        self._w.write(np.ascontiguousarray(frame[:, :, ::-1]))  # RGB->BGR
+
+    def close(self):
+        if self._w is None:
+            raise ValueError("no frames written")
+        self._w.release()
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def make_video_writer(path: str, fps: float = 25.0):
+    """Writer for `path` by extension: .avi -> the in-repo MJPEG writer
+    (deterministic, dependency-free); anything else -> cv2 (mp4v for
+    .mp4). Raises if a non-avi container is requested without cv2."""
+    if path.lower().endswith(".avi") or _cv2() is None:
+        if not path.lower().endswith(".avi"):
+            raise RuntimeError(
+                f"{path}: only .avi can be written without cv2")
+        return AviWriter(path, fps)
+    return Cv2Writer(path, fps)
+
+
+# ---------------------------------------------------------------------------
 # Unified frame sources / sinks
 # ---------------------------------------------------------------------------
 
@@ -174,8 +246,9 @@ def read_frames(path: str) -> Tuple[Iterator[np.ndarray], int, float]:
     """Video file or frame directory -> (frame iterator, count, fps).
 
     Frames decode LAZILY (per pull): only the raw container bytes are
-    resident, never the decoded video. Wrap the iterator in
-    prefetch_frames() to overlap JPEG decode with device compute."""
+    resident, never the decoded video. .avi routes through the in-repo
+    MJPEG parser; other containers (.mp4, ...) decode via cv2. Wrap the
+    iterator in prefetch_frames() to overlap decode with device compute."""
     from PIL import Image
 
     if os.path.isdir(path):
@@ -188,6 +261,30 @@ def read_frames(path: str) -> Tuple[Iterator[np.ndarray], int, float]:
                 yield np.asarray(Image.open(fp).convert("RGB"))
 
         return gen(), len(files), 25.0
+    if not path.lower().endswith(".avi"):
+        cv2 = _cv2()
+        if cv2 is None:
+            raise ValueError(
+                f"{path}: only .avi readable without cv2 (not installed)")
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise ValueError(f"{path}: cv2 cannot open this video")
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = float(cap.get(cv2.CAP_PROP_FPS)) or 25.0
+        if n <= 0:
+            raise ValueError(f"{path}: container reports no frames")
+
+        def gen():
+            try:
+                while True:
+                    ok, f = cap.read()
+                    if not ok:
+                        return
+                    yield np.ascontiguousarray(f[:, :, ::-1])  # BGR->RGB
+            finally:
+                cap.release()
+
+        return gen(), n, fps
     with open(path, "rb") as f:
         data = memoryview(f.read())
     index, fps = _index_avi(data, path)
