@@ -54,6 +54,32 @@ def conv_xla(x, w, b, relu):
     return out.astype(x.dtype)
 
 
+def conv_xla_bf16out(x, w, b, relu):
+    # conv emits bf16 directly (f32 MXU accumulation, converted at the
+    # output write) -> the bias+relu epilogue fusion moves half the bytes
+    out = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        preferred_element_type=x.dtype)
+    out = out + b.astype(x.dtype)[None, :, None, None]
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
+def conv_nhwc(x, w, b, relu):
+    # NHWC operand/result layout (C minor = XLA TPU's preferred conv
+    # layout) — measures what the NCHW form pays in layout copies
+    out = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    out = out + b.astype(jnp.float32)
+    if relu:
+        out = jax.nn.relu(out)
+    return out.astype(x.dtype)
+
+
 def conv_dot(x, w, b, relu):
     out = conv2d_nchw_dot(x, w, b)
     if relu:
@@ -61,11 +87,23 @@ def conv_dot(x, w, b, relu):
     return out
 
 
+def _reflect_nhwc(x, p=1):
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+FORMS = {
+    "xla": (conv_xla, _reflect),
+    "dot": (conv_dot, _reflect),
+    "bf16out": (conv_xla_bf16out, _reflect),
+    "nhwc": (conv_nhwc, _reflect_nhwc),
+}
+
+
 def branch(x, bp, form):
-    f = conv_xla if form == "xla" else conv_dot
-    h = f(_reflect(x), bp["conv1"]["w"], bp["conv1"]["b"], True)
-    h = f(_reflect(h), bp["conv2"]["w"], bp["conv2"]["b"], True)
-    return f(_reflect(h), bp["conv3"]["w"], bp["conv3"]["b"], False)
+    f, refl = FORMS[form]
+    h = f(refl(x), bp["conv1"]["w"], bp["conv1"]["b"], True)
+    h = f(refl(h), bp["conv2"]["w"], bp["conv2"]["b"], True)
+    return f(refl(h), bp["conv3"]["w"], bp["conv3"]["b"], False)
 
 
 def device_us(logdir):
@@ -99,14 +137,20 @@ def main():
     x1 = jnp.asarray(rng.standard_normal((batch, c, hw, hw)), jnp.bfloat16)
     x2 = jnp.asarray(rng.standard_normal((batch, c, hw, hw)), jnp.bfloat16)
 
-    for form in ("xla", "dot"):
+    forms = sys.argv[2].split(",") if len(sys.argv) > 2 else ("xla", "dot")
+    for form in forms:
+        xa, xb = x1, x2
+        if form == "nhwc":
+            xa = jnp.transpose(xa, (0, 2, 3, 1))
+            xb = jnp.transpose(xb, (0, 2, 3, 1))
+
         @jax.jit
         def chain(x1, x2):
             for bp in bps:
                 x1, x2 = x2, (branch(x2, bp, form) + x1)
             return x1, x2
 
-        a, b = chain(x1, x2)
+        a, b = chain(xa, xb)
         _ = np.asarray(a[0, 0, :2, 0])
         n = 3
         logdir = f"/tmp/prof_stage3_{form}"
