@@ -35,6 +35,25 @@ def rng():
     return np.random.default_rng(0)
 
 
+def patch_interpret_fused(monkeypatch):
+    """Route BOTH fused Pallas kernels (coupling + transition) through
+    interpret mode — pallas_call cannot lower on the CPU backend. Patches
+    the names in ops.coupling_flat and models.revresnet_fast (the fast
+    path calls them through its module globals)."""
+    import vstnet_tpu.models.revresnet_fast as rf
+    import vstnet_tpu.ops.coupling_flat as cflat
+
+    for name in ("fused_coupling_flat", "fused_transition_flat"):
+        orig = getattr(cflat, name)
+
+        def patched(*args, __orig=orig, **kw):
+            kw["interpret"] = True
+            return __orig(*args, **kw)
+
+        monkeypatch.setattr(cflat, name, patched)
+        monkeypatch.setattr(rf, name, patched)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_jax_state():
     """Drop compiled executables and tracing caches between test modules.

@@ -20,15 +20,9 @@ SMALL = RevResNetConfig(n_blocks=(2, 2, 2), hidden_dim=16, sp_steps=2)
 
 @pytest.fixture(autouse=True)
 def _interpret_pallas(monkeypatch):
-    orig = cflat.fused_coupling_flat
+    from tests.conftest import patch_interpret_fused
 
-    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False, **kw):
-        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True, **kw)
-
-    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
-    monkeypatch.setattr(rf, "fused_coupling_flat", patched)
+    patch_interpret_fused(monkeypatch)
     yield
 
 
@@ -166,6 +160,68 @@ def test_fused_coupling_flat_nopad_parity(rng, c, mid, h, w, th):
         padded=False))
     np.testing.assert_allclose(got_fwd, ref_fwd, atol=2e-5)
     np.testing.assert_allclose(got_inv, ref_inv, atol=2e-5)
+
+
+def _rand_tr_branch(rng, cin, mid):
+    def conv(ci, co):
+        return {
+            "w": jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.2,
+                             jnp.float32),
+            "b": jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32),
+        }
+
+    return {"conv1": conv(cin, mid), "conv2": conv(mid, mid),
+            "conv3": conv(mid, 4 * cin)}
+
+
+@pytest.mark.parametrize("c,mid,h,w,padded", [
+    (16, 16, 16, 24, True),    # the stage2-transition shape family
+    (4, 2, 32, 20, True),      # non-multiple-of-8 mid (padding path)
+    (16, 16, 32, 256, False),  # zero-copy form (half-res W = 128)
+    (8, 4, 32, 256, False),    # two half-res tiles, top != bottom
+])
+def test_fused_transition_flat_parity(rng, c, mid, h, w, padded):
+    """Stride-2 transition kernel == the XLA reference block (stride-2
+    reflect-pad conv branch at full res + pixel unshuffle, the fast
+    path's own NCHW fallback), forward and inverse. Exercises the 2x2
+    phase conv's top-row copy-reflection and the phase-masked column
+    substitution at both layouts."""
+    from vstnet_tpu.ops import coupling_flat as cf
+    from vstnet_tpu.ops.coupling import pixel_unshuffle_nchw
+
+    branch = _rand_tr_branch(rng, c, mid)
+    packed = cf.pack_transition_weights_flat(branch)
+
+    x1 = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    fx2 = rf._branch_nchw(x2, branch, 2)
+    x1u = pixel_unshuffle_nchw(x1)
+    x2u = pixel_unshuffle_nchw(x2)
+    ref_fwd = np.asarray(fx2 + x1u)
+    hh, wh, cu = h // 2, w // 2, 4 * c
+
+    def to_flat(t):
+        if padded:
+            return cf.nhwc_to_flat(jnp.transpose(t, (0, 2, 3, 1)))
+        return t.reshape(2, cu, hh * wh)
+
+    def from_flat(tf):
+        if padded:
+            return np.asarray(jnp.transpose(
+                cf.flat_to_nhwc(tf, hh, wh), (0, 3, 1, 2)))
+        return np.asarray(tf.reshape(2, cu, hh, wh))
+
+    th = 4 if padded else 8
+    got_fwd = from_flat(cf.fused_transition_flat(
+        to_flat(x1u), to_flat(x2u), packed, hh, wh, th=th,
+        interpret=True, padded=padded))
+    np.testing.assert_allclose(got_fwd, ref_fwd, atol=2e-5)
+
+    # inverse: (y1=x2u, y2=fwd) -> recovers x1u
+    got_inv = from_flat(cf.fused_transition_flat(
+        to_flat(jnp.asarray(ref_fwd)), to_flat(x2u), packed, hh, wh,
+        th=th, inverse=True, interpret=True, padded=padded))
+    np.testing.assert_allclose(got_inv, np.asarray(x1u), atol=2e-5)
 
 
 def test_encode_fast_nopad_stage_parity(rng, monkeypatch):

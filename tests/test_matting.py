@@ -9,13 +9,19 @@ import torch
 
 
 def _load_ref():
-    # The reference module imports cv2 (absent here) only for file loading;
-    # stub it before exec.
+    # The reference module imports cv2 only for file loading. Use the real
+    # cv2 when importable; stub it ONLY if genuinely absent — and never by
+    # leaving an empty module in sys.modules (an early empty stub poisons
+    # `import cv2` for every later test in the process: io/video.py's mp4
+    # writer saw `module 'cv2' has no attribute 'VideoWriter'`).
     import sys
     import types
 
-    if "cv2" not in sys.modules:
-        sys.modules["cv2"] = types.ModuleType("cv2")
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        if "cv2" not in sys.modules:
+            sys.modules["cv2"] = types.ModuleType("cv2")
     spec = importlib.util.spec_from_file_location(
         "ref_matting", "/root/reference/utils/MattingLaplacian.py"
     )

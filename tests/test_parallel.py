@@ -158,15 +158,9 @@ def test_parallel_fused_stylize_matches_single(rng, monkeypatch):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
 
-    orig = cflat.fused_coupling_flat
+    from tests.conftest import patch_interpret_fused
 
-    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False, **kw):
-        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True, **kw)
-
-    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
-    monkeypatch.setattr(rf, "fused_coupling_flat", patched)
+    patch_interpret_fused(monkeypatch)
 
     params = init_revresnet(jax.random.PRNGKey(5), SMALL)
     fast = rf.pack_revresnet(params, SMALL)  # f32 on CPU: exact comparison
@@ -232,15 +226,9 @@ def test_parallel_masked_fused_matches_single(rng, monkeypatch):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
 
-    orig = cflat.fused_coupling_flat
+    from tests.conftest import patch_interpret_fused
 
-    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False, **kw):
-        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True, **kw)
-
-    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
-    monkeypatch.setattr(rf, "fused_coupling_flat", patched)
+    patch_interpret_fused(monkeypatch)
 
     params = init_revresnet(jax.random.PRNGKey(5), SMALL)
     fast = rf.pack_revresnet(params, SMALL)  # f32 on CPU: exact comparison

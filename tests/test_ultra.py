@@ -145,15 +145,9 @@ def test_tiled_fast_path_routing(rng, monkeypatch):
     import vstnet_tpu.models.revresnet_fast as rfm
     import vstnet_tpu.ops.coupling_flat as cflat
 
-    orig = cflat.fused_coupling_flat
+    from tests.conftest import patch_interpret_fused
 
-    def patched(x1f, x2f, packed, h, w, th=64, inverse=False,
-                interpret=False, **kw):
-        return orig(x1f, x2f, packed, h, w, th=th, inverse=inverse,
-                    interpret=True, **kw)
-
-    monkeypatch.setattr(cflat, "fused_coupling_flat", patched)
-    monkeypatch.setattr(rfm, "fused_coupling_flat", patched)
+    patch_interpret_fused(monkeypatch)
 
     cfg = TINY
     params = init_revresnet(jax.random.PRNGKey(5), cfg)

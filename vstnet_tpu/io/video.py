@@ -198,7 +198,9 @@ class Cv2Writer:
         self.path = path
         self.fps = fps
         self._cv2 = cv2
-        self._fourcc = cv2.VideoWriter_fourcc(*fourcc)
+        # cv2.VideoWriter.fourcc is the stable spelling (the module-level
+        # VideoWriter_fourcc is an alias generated at import).
+        self._fourcc = cv2.VideoWriter.fourcc(*fourcc)
         self._w = None
 
     def write(self, frame: np.ndarray):

@@ -14,6 +14,13 @@ Stage routing (measured on v5e at 512^2):
     are near-roofline there; fusing loses to VMEM pressure. They run XLA
     in NCHW, which is also the natural neighbor layout of the flat form
     (entering/leaving flat is a minor-dim pad/slice, not a transpose).
+  * stride-2 transitions: XLA runs their tiny-channel strided convs
+    10-30x off roofline; at batch <= TR_FUSE_MAX_BATCH they run as fused
+    flat kernels on the pixel-unshuffled streams (the stride-2 conv is
+    algebraically a 2x2 phase conv at half res — ops/coupling_flat.py),
+    sharing the following stage's flat segment. At larger batches XLA's
+    transpose-into-conv fusions win; both weight forms are packed and
+    the route picks per batch.
 
 Parity: bit-faithful to the standard path to f32 roundoff (the fused
 kernel reproduces per-conv ReflectionPad2d border semantics exactly);
@@ -35,13 +42,27 @@ from vstnet_tpu.ops.coupling_flat import (
     col_offset,
     flat_len,
     fused_coupling_flat,
+    fused_transition_flat,
     pack_branch_weights_flat,
+    pack_transition_weights_flat,
     row_stride,
 )
 
 # Fuse stride-1 blocks whose stream channel count is at most this; fatter
 # stages run XLA (see module docstring).
 FUSE_MAX_CHANNELS = 64
+# Fuse stride-2 transition blocks whose UNSHUFFLED stream channel count is
+# at most this (the kernel runs at half resolution on the unshuffled
+# streams — ops/coupling_flat.py transition section; XLA runs the
+# tiny-channel strided convs 10-30x off roofline).
+TR_FUSE_MAX_CHANNELS = 256
+# ... but only for batches up to this. Measured on v5e @512² (same-day
+# A/B): fused transitions are +6% device-plane at B64 and +0.3% wall at
+# B128, yet -3.4% at B256 — at large batch XLA fuses one side of each 6D
+# phase transpose into the stride-2 conv reads, and the custom-call
+# boundary forces both sides to materialize (~+390 us/frame of %copy).
+# Both forms are packed; encode/decode route per batch.
+TR_FUSE_MAX_BATCH = 64
 # VMEM budget for picking the row-tile size (v5e ~16 MB/core).
 VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -79,6 +100,33 @@ def _rup8(n: int) -> int:
     return (n + 7) // 8 * 8
 
 
+# Mosaic's measured scoped-vmem stack for the transition kernel: 16.18 MB
+# at (t=26, s=128, cu=256, bf16) = ~19 B per channel*lane*row — about
+# 6 activation-dtype copies (stream, top-fix shift, shift_fix temps,
+# 2-tap stack, mids) + ~8 B of f32 dot/accum terms per element, with
+# Mosaic's conservative liveness. Budget against the real 16 MB scoped
+# limit with margin; the 512² production shape lands on th=16 (13.7 MB,
+# verified compiling on v5e) and the failing CLI shape (h'=80, th=20,
+# 16.18 MB) now picks th=16 too.
+VMEM_LIMIT_TR = 15 * 1024 * 1024
+
+
+def pick_tile_tr(h: int, cu: int, w: int, dtype_bytes: int = 2,
+                 nopad: bool = False) -> int:
+    """Row tile for the fused TRANSITION kernel at unshuffled channel
+    count cu, calibrated to Mosaic's measured stack accounting (above).
+    nopad adds nothing measurable beyond the modeled shift temporaries —
+    the calibration point WAS the nopad form."""
+    del nopad  # calibration already includes the nopad shift temporaries
+    s = row_stride(w)
+    per_row = s * cu * (6 * dtype_bytes + 8)
+    cap = max(VMEM_LIMIT_TR // per_row - 6, 1)
+    for th in range(min(h, cap, 128), 0, -1):
+        if h % th == 0:
+            return th
+    return 1
+
+
 def pack_revresnet(params: Dict, cfg: RevResNetConfig, dtype=None) -> Dict:
     """Standard params pytree -> fast-path pytree: stride-1 branches packed
     for the fused flat kernel; others kept HWIO for the XLA path."""
@@ -91,6 +139,10 @@ def pack_revresnet(params: Dict, cfg: RevResNetConfig, dtype=None) -> Dict:
     for bp, (ch, stride) in zip(params["stack"], plan):
         if stride == 1 and ch <= FUSE_MAX_CHANNELS:
             stack.append({"packed": cvt(pack_branch_weights_flat(bp))})
+        elif stride == 2 and ch <= TR_FUSE_MAX_CHANNELS:
+            # both forms: encode/decode route by batch (TR_FUSE_MAX_BATCH)
+            stack.append({"packed_tr": cvt(pack_transition_weights_flat(bp)),
+                          "raw": cvt(bp)})
         else:
             stack.append({"raw": cvt(bp)})
     red_ch = cfg.hidden_dim * 4 ** cfg.sp_steps
@@ -183,14 +235,31 @@ def _pick_route(x1, h, w):
     return pick_tile(h, c, w, dtype_bytes=nbytes), False
 
 
-def _fused_stage_forward(x1, x2, blocks, h, w):
-    """Run consecutive fused stride-1 blocks keeping streams flat."""
+def _tr_tile(x1, h, w, th_run, nopad):
+    """Transition-kernel tile height: its own (bigger) budget, falling
+    back to the run's tile if the no-pad constraints would break."""
+    nbytes = 2 if x1.dtype == jnp.bfloat16 else 4
+    th_tr = pick_tile_tr(h, x1.shape[1], w, nbytes, nopad=nopad)
+    if nopad and not _nopad_ok(h, w, th_tr):
+        return th_run
+    return th_tr
+
+
+def _fused_stage_forward(x1, x2, blocks, h, w, tr=None):
+    """Run one fused segment keeping streams flat: an optional leading
+    stride-2 transition (streams arrive ALREADY unshuffled at half res —
+    the caller does the pixel_unshuffle) followed by consecutive fused
+    stride-1 blocks at the same resolution."""
     b, c = x1.shape[0], x1.shape[1]
     th, nopad = _pick_route(x1, h, w)
     if nopad:
         x1f, x2f = x1.reshape(b, c, h * w), x2.reshape(b, c, h * w)
     else:
         x1f, x2f = _to_flat(x1), _to_flat(x2)
+    if tr is not None:
+        x1f, x2f = x2f, fused_transition_flat(
+            x1f, x2f, tr["packed_tr"], h, w,
+            th=_tr_tile(x1, h, w, th, nopad), padded=not nopad)
     for bp in blocks:
         x1f, x2f = x2f, fused_coupling_flat(x1f, x2f, bp["packed"], h, w,
                                             th=th, padded=not nopad)
@@ -199,7 +268,9 @@ def _fused_stage_forward(x1, x2, blocks, h, w):
     return _from_flat(x1f, h, w), _from_flat(x2f, h, w)
 
 
-def _fused_stage_inverse(x1, x2, blocks, h, w):
+def _fused_stage_inverse(x1, x2, blocks, h, w, tr=None):
+    """Inverse of _fused_stage_forward; streams leave still unshuffled
+    when tr is given (the caller pixel_shuffles)."""
     b, c = x1.shape[0], x1.shape[1]
     th, nopad = _pick_route(x1, h, w)
     if nopad:
@@ -211,6 +282,11 @@ def _fused_stage_inverse(x1, x2, blocks, h, w):
         x1f, x2f = fused_coupling_flat(x2f, x1f, bp["packed"], h, w,
                                        th=th, inverse=True,
                                        padded=not nopad), x1f
+    if tr is not None:
+        x1f, x2f = fused_transition_flat(
+            x2f, x1f, tr["packed_tr"], h, w,
+            th=_tr_tile(x1, h, w, th, nopad), inverse=True,
+            padded=not nopad), x1f
     if nopad:
         return x1f.reshape(b, c, h, w), x2f.reshape(b, c, h, w)
     return _from_flat(x1f, h, w), _from_flat(x2f, h, w)
@@ -235,15 +311,28 @@ def _block_inverse_nchw(y1, y2, bp, stride):
     return x1, x2
 
 
-def _segments(fast_params, plan):
-    """Group the block plan into runs of (fused? , blocks)."""
+def _segments(fast_params, plan, batch: int):
+    """Group the block plan into runs: ("nchw", None, [(bp, stride)...])
+    or ("fused", tr_bp_or_None, [stride-1 bps...]). A fused stride-2
+    transition STARTS a fused run — it changes resolution, and the
+    following fused blocks share its flat segment (no layout exit
+    between the transition and the stage it opens). Transitions route to
+    the fused kernel only at batch <= TR_FUSE_MAX_BATCH (see the constant
+    above for the measured crossover)."""
     runs = []
     for bp, (ch, stride) in zip(fast_params["stack"], plan):
-        fused = "packed" in bp
-        if runs and runs[-1][0] == fused and (not fused or stride == 1):
-            runs[-1][1].append((bp, stride))
+        if "packed_tr" in bp and batch <= TR_FUSE_MAX_BATCH:
+            runs.append(["fused", bp, []])
+        elif "packed" in bp:
+            if runs and runs[-1][0] == "fused":
+                runs[-1][2].append(bp)
+            else:
+                runs.append(["fused", None, [bp]])
         else:
-            runs.append((fused, [(bp, stride)]))
+            if runs and runs[-1][0] == "nchw":
+                runs[-1][2].append((bp, stride))
+            else:
+                runs.append(["nchw", None, [(bp, stride)]])
     return runs
 
 
@@ -264,11 +353,13 @@ def encode_fast(fast_params: Dict, x, cfg: RevResNetConfig,
     n = x.shape[1] // 2
     x1, x2 = x[:, :n], x[:, n:]
 
-    for fused, blocks in _segments(fast_params, plan):
-        if fused:
+    for kind, tr, blocks in _segments(fast_params, plan, x.shape[0]):
+        if kind == "fused":
+            if tr is not None:
+                x1 = pixel_unshuffle_nchw(x1)
+                x2 = pixel_unshuffle_nchw(x2)
             h, w = x1.shape[2], x1.shape[3]
-            x1, x2 = _fused_stage_forward(
-                x1, x2, [bp for bp, _ in blocks], h, w)
+            x1, x2 = _fused_stage_forward(x1, x2, blocks, h, w, tr=tr)
         else:
             for bp, stride in blocks:
                 x1, x2 = _block_forward_nchw(x1, x2, bp, stride)
@@ -313,11 +404,14 @@ def decode_fast(fast_params: Dict, z, cfg: RevResNetConfig,
 
     n = x.shape[1] // 2
     x1, x2 = x[:, :n], x[:, n:]
-    for fused, blocks in reversed(_segments(fast_params, plan)):
-        if fused:
+    for kind, tr, blocks in reversed(_segments(fast_params, plan,
+                                                x.shape[0])):
+        if kind == "fused":
             h, w = x1.shape[2], x1.shape[3]
-            x1, x2 = _fused_stage_inverse(
-                x1, x2, [bp for bp, _ in blocks], h, w)
+            x1, x2 = _fused_stage_inverse(x1, x2, blocks, h, w, tr=tr)
+            if tr is not None:
+                x1 = pixel_shuffle_nchw(x1)
+                x2 = pixel_shuffle_nchw(x2)
         else:
             for bp, stride in reversed(blocks):
                 x1, x2 = _block_inverse_nchw(x1, x2, bp, stride)

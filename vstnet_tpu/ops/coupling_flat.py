@@ -152,32 +152,59 @@ def _shift_stack(x, pos, w_img: int, co: int):
 
 
 def _conv_flat(x, w_packed, b, mp: int, s: int, pos, w_img: int, co: int,
-               relu: bool, out_dtype):
+               relu: bool, out_dtype, split_ky: bool = False):
     """3x3 conv via one stacked dot + 3 aligned row-tap adds.
 
     x: (Cin, L). Returns (mp, L - 2S): the output FRAME shrinks one row
     each side (out local row r' = input local row r'+1), so every tap
-    slice lands in-bounds with offsets 0/S/2S — aligned, no guard copy."""
+    slice lands in-bounds with offsets 0/S/2S — aligned, no guard copy.
+
+    split_ky=True runs one dot per row tap and accumulates (bit-identical
+    add order): live VMEM drops from a (3*mp, L) f32 block to
+    (mp, L) + (mp, L-2S) — the lever that buys wide-channel kernels a
+    bigger row tile."""
     precision = (
         lax.Precision.HIGHEST if w_packed.dtype == jnp.float32
         else lax.Precision.DEFAULT
     )
     xs = _shift_stack(x, pos, w_img, co)
-    p = lax.dot_general(
-        w_packed, xs, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # (3*mp, L): row block ky
     n_out = x.shape[1] - 2 * s
     out = None
-    for ky in range(3):
-        piece = lax.slice(
-            p, (ky * mp, ky * s), ((ky + 1) * mp, ky * s + n_out))
-        out = piece if out is None else out + piece
+    if split_ky:
+        for ky in range(3):
+            wk = lax.slice(w_packed, (0, ky * mp),
+                           (w_packed.shape[0], (ky + 1) * mp))
+            pk = lax.dot_general(
+                wk, xs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            piece = lax.slice(pk, (0, ky * s), (mp, ky * s + n_out))
+            out = piece if out is None else out + piece
+    else:
+        p = lax.dot_general(
+            w_packed, xs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (3*mp, L): row block ky
+        for ky in range(3):
+            piece = lax.slice(
+                p, (ky * mp, ky * s), ((ky + 1) * mp, ky * s + n_out))
+            out = piece if out is None else out + piece
     out = out + b
     if relu:
         out = jnp.maximum(out, 0.0)
     return out.astype(out_dtype)
+
+
+def _replace_row(xx, s: int, dst: int, src: int):
+    """Copy row segment src -> dst in a (C, rows*s) flat tensor."""
+    n_lanes = xx.shape[1]
+    pieces = []
+    if dst > 0:
+        pieces.append(xx[:, : dst * s])
+    pieces.append(xx[:, src * s:(src + 1) * s])
+    if (dst + 1) * s < n_lanes:
+        pieces.append(xx[:, (dst + 1) * s:])
+    return jnp.concatenate(pieces, axis=1)
 
 
 def _reflect_rows(x, s: int, rows, center_top: int, center_bot: int,
@@ -185,16 +212,9 @@ def _reflect_rows(x, s: int, rows, center_top: int, center_bot: int,
     """Mirror halo row segments at the image top/bottom under lax.cond —
     interior tiles skip the copies. For j in rows: top row (ct - j) <-
     (ct + j); bottom (cb + j) <- (cb - j)."""
-    n_lanes = x.shape[1]
 
     def replace_row(xx, dst: int, src: int):
-        pieces = []
-        if dst > 0:
-            pieces.append(xx[:, : dst * s])
-        pieces.append(xx[:, src * s:(src + 1) * s])
-        if (dst + 1) * s < n_lanes:
-            pieces.append(xx[:, (dst + 1) * s:])
-        return jnp.concatenate(pieces, axis=1)
+        return _replace_row(xx, s, dst, src)
 
     def fix(xx):
         top = xx
@@ -269,6 +289,220 @@ def _coupling_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     x1 = x1_ref[0].astype(jnp.float32)
     y = (x1 - fx) if inverse else (fx + x1)
     out_ref[0] = y.astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Stride-2 transition block (fused, on pixel-unshuffled streams)
+# ---------------------------------------------------------------------------
+#
+# The reference transition block (models/RevResNet.py:96-116) applies a
+# stride-2 3x3 conv1 to the full-res C-channel stream, then space-to-depth
+# on both streams. XLA runs those tiny-channel strided convs 10-30x off
+# roofline (measured 80-91 us/frame each @B64 at 512^2 where the floor is
+# 2-10 us). Algebraically the stride-2 conv IS a 2x2 conv on the
+# pixel-unshuffled 4C-channel half-res stream: output row r reads full
+# rows 2r-1, 2r, 2r+1, i.e. unshuffled rows {r-1 (row-phase p=1 only), r}
+# — so after the (already required) unshuffle, the whole branch becomes
+# a half-res fused kernel in the same flat layout as the stride-1 blocks:
+# one 2-tap stacked dot (conv1') + two ordinary 3x3 flat convs, streams
+# never leaving flat across the stage boundary.
+#
+# Phase channel order is pixel_unshuffle_nchw's [p][q][ci]
+# (ops/coupling.py:113-119). Zero-weight slots: (row-tap a=0, p=0) and
+# (col-tap b=0, q=0) have no originating full-res tap.
+
+def pack_transition_weights_flat(branch, dtype=None):
+    """Stride-2 branch {conv1 (3,3,C,M), conv2 (3,3,M,M), conv3 (3,3,M,4C)}
+    -> flat form on unshuffled 4C-channel streams.
+
+    conv1 becomes W1' (2*4C, 2*Mp): row block b_tap*4C + (p*2+q)*C + ci,
+    column block a_tap*Mp + co, where original tap (ki, kj) maps to
+    (a, p) = {0:(0,1), 1:(1,0), 2:(1,1)}[ki] and likewise (b, q) for kj.
+    conv2/conv3 pack as ordinary 3x3 flat weights (half resolution)."""
+    w1, b1 = branch["conv1"]["w"], branch["conv1"]["b"]
+    w2, b2 = branch["conv2"]["w"], branch["conv2"]["b"]
+    w3, b3 = branch["conv3"]["w"], branch["conv3"]["b"]
+    c = w1.shape[2]
+    m1p, m2p = _rup(w1.shape[3]), _rup(w2.shape[3])
+
+    w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, 0), (0, m1p - w1.shape[3])))
+    w1t = jnp.zeros((2, 4 * c, 2, m1p), w1.dtype)
+    tap = {0: (0, 1), 1: (1, 0), 2: (1, 1)}  # k -> (tap index, phase)
+    for ki in range(3):
+        a, p = tap[ki]
+        for kj in range(3):
+            b_, q = tap[kj]
+            blk = (p * 2 + q) * c
+            w1t = w1t.at[b_, blk:blk + c, a, :].add(w1[ki, kj])
+    w1t = w1t.reshape(2 * 4 * c, 2 * m1p)
+
+    def pack(w, cin_p, cout_p):
+        kh, kw, cin, cout = w.shape
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin),
+                        (0, cout_p - cout)))
+        return jnp.transpose(w, (1, 2, 0, 3)).reshape(
+            kw * cin_p, kh * cout_p)
+
+    packed = {
+        "w1": w1t,
+        "b1": jnp.pad(b1, (0, m1p - b1.shape[0])).reshape(-1, 1),
+        "w2": pack(w2, m1p, m2p),
+        "b2": jnp.pad(b2, (0, m2p - b2.shape[0])).reshape(-1, 1),
+        "w3": pack(w3, m2p, w3.shape[3]),
+        "b3": b3.reshape(-1, 1),
+    }
+    if dtype is not None:
+        packed = jax.tree.map(lambda a: a.astype(dtype), packed)
+    return packed
+
+
+def _shift_stack2(x, pos, co: int):
+    """[x(c-1), x(c)] stacked on sublanes for the 2x2 phase conv. At image
+    col 0 the (c-1) tap substitutes col 0 itself: full-res column
+    reflection puts full col -1 at the q=1 phase of u-col 0, and the q=0
+    channels of this tap carry zero weights. The select also neutralizes
+    the cross-row lane wrap in the haloless (S == W) layout."""
+    xr0 = jnp.concatenate([x[:, -1:], x[:, :-1]], 1)
+    xr = jnp.where(pos == co, x, xr0)
+    return jnp.concatenate([xr, x], axis=0)
+
+
+def _conv_flat2(x, w_packed, b, mp: int, s: int, pos, co: int, out_dtype):
+    """2x2 phase conv (conv1' of a transition): one stacked dot + 2 row-tap
+    adds. x: (4C, L). Output frame drops one row each side — row k of the
+    output is u-row (k+1) of the input frame (the a=0 tap reads one row
+    up; the bottom row is dropped for frame parity with the 3x3 chain
+    that follows), so the downstream _conv_flat bookkeeping is unchanged."""
+    precision = (
+        lax.Precision.HIGHEST if w_packed.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    xs = _shift_stack2(x, pos, co)
+    p = lax.dot_general(
+        w_packed, xs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (2*mp, L): row block a
+    n_out = x.shape[1] - 2 * s
+    out = (lax.slice(p, (0, 0), (mp, n_out))
+           + lax.slice(p, (mp, s), (2 * mp, s + n_out)))
+    out = jnp.maximum(out + b, 0.0)
+    return out.astype(out_dtype)
+
+
+def _transition_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                            w3_ref, b3_ref, out_ref, *, th, s, w_img, co, c,
+                            n_tiles, inverse, padded=True):
+    """One grid program of the fused transition: output rows
+    [i*TH, i*TH + TH) of F(x2u) +- x1u at HALF resolution (the streams are
+    already unshuffled; w_img/s/co all refer to the half-res grid).
+
+    Frame bookkeeping matches _coupling_kernel_flat: input local rows
+    [0, t); conv1' (2-row window) emits rows with u-row g = k - 2; conv2
+    g = k - 1; conv3 g = k — exactly the output tile."""
+    i = pl.program_id(1)
+    is_top = i == 0
+    is_bottom = i == n_tiles - 1
+    t = th + 2 * HALO
+    dt = x2_ref.dtype
+    m1 = b1_ref.shape[0]
+    m2 = b2_ref.shape[0]
+
+    def pos(n_lanes):
+        return lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1) % s
+
+    x = x2_ref[0]
+    if not padded:
+        k = HALO * s
+
+        def shift_fix(xx):
+            down = jnp.concatenate([xx[:, -k:], xx[:, :-k]], 1)
+            up = jnp.concatenate([xx[:, k:], xx[:, :k]], 1)
+            return jnp.where(is_top, down, up)
+
+        x = lax.cond(is_top | is_bottom, shift_fix, lambda xx: xx, x)
+    # Top-edge row reflection for the 2x2 conv: full row -1 = full row 1 =
+    # the p=1 phase of u-row 0, so the u-row -1 slot (local row 2) takes a
+    # copy of u-row 0 (local 3) — the p=0 channels of the a=0 tap carry
+    # zero weights. The 2-row window never reads below the output row, so
+    # there is no bottom fix at this level. Expressed as a lane-masked
+    # where (Mosaic fails to legalize the scalar-cond select over these
+    # vectors); the aligned one-row shift is one cheap VPU pass.
+    lane_row = lax.broadcasted_iota(jnp.int32, (1, t * s), 1) // s
+    x_down1 = jnp.concatenate([x[:, s:], x[:, :s]], 1)  # row r <- row r+1
+    x = jnp.where(is_top & (lane_row == HALO - 1), x_down1, x)
+
+    h1 = _conv_flat2(x, w1_ref[...], b1_ref[...], m1, s, pos(t * s), co,
+                     out_dtype=dt)                     # u-row g = k - 2
+    h1 = _reflect_rows(h1, s, (1,), HALO - 1, t - 5, is_top, is_bottom)
+
+    h2 = _conv_flat(h1, w2_ref[...], b2_ref[...], m2, s, pos((t - 2) * s),
+                    w_img, co, relu=True, out_dtype=dt)  # g = k - 1
+    h2 = _reflect_rows(h2, s, (1,), HALO - 2, t - 6, is_top, is_bottom)
+
+    fx = _conv_flat(h2, w3_ref[...], b3_ref[...], c, s, pos((t - 4) * s),
+                    w_img, co, relu=False, out_dtype=jnp.float32,
+                    split_ky=c >= 128)                             # g = k
+    x1 = x1_ref[0].astype(jnp.float32)
+    y = (x1 - fx) if inverse else (fx + x1)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("th", "h", "w", "inverse", "interpret",
+                                   "padded"))
+def fused_transition_flat(x1f, x2f, packed, h: int, w: int, th: int = 32,
+                          inverse: bool = False, interpret: bool = False,
+                          padded: bool = True):
+    """Fused stride-2 transition block on flat HALF-RES unshuffled streams.
+
+    Forward: x1f = unshuffle(x1), x2f = unshuffle(x2) both (B, 4C, ...)
+    flat at half resolution; returns F(x2f) + x1f (caller swaps streams as
+    with fused_coupling_flat). Inverse: pass (x1f=y2, x2f=y1) with
+    inverse=True to get y2 - F(y1); the caller pixel-shuffles outside.
+    h/w are the HALF-RES image dims; padded semantics as in
+    fused_coupling_flat."""
+    b, cu, _ = x2f.shape
+    assert h % th == 0, f"H={h} not divisible by tile {th}"
+    s = row_stride(w)
+    n_tiles = h // th
+    t = th + 2 * HALO
+    if not padded:
+        assert th >= HALO and h >= t, (
+            f"no-pad path needs TH>={HALO} and H>=TH+6 (h={h}, th={th})")
+
+    el = pl.Element
+    kernel = partial(
+        _transition_kernel_flat, th=th, s=s, w_img=w, co=col_offset(w),
+        c=cu, n_tiles=n_tiles, inverse=inverse, padded=padded,
+    )
+    if padded:
+        x2_map = lambda bb, ii: (bb, 0, ii * th * s)
+        x1_map = lambda bb, ii: (bb, 0, (HALO + ii * th) * s)
+    else:
+        x2_map = lambda bb, ii: (
+            bb, 0, jnp.clip(ii * th - HALO, 0, h - t) * s)
+        x1_map = lambda bb, ii: (bb, 0, ii * th * s)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((el(1), el(cu), el(t * s)), x2_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((el(1), el(cu), el(th * s)), x1_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((el(1), el(cu), el(th * s)), x1_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x1f.shape, x1f.dtype),
+        interpret=interpret,
+    )(x2f, x1f, packed["w1"], packed["b1"], packed["w2"], packed["b2"],
+      packed["w3"], packed["b3"])
 
 
 @partial(jax.jit, static_argnames=("th", "h", "w", "inverse", "interpret",
