@@ -42,6 +42,9 @@ def main():
             if part.startswith("seg") and part[3:].isdigit():
                 seg_size = int(part[3:])
     logdir = "/tmp/prof_masked_video"
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
     cfg = PHOTO_CONFIG
     params = init_revresnet(jax.random.PRNGKey(0), cfg)
     seg_params = init_segformer(jax.random.PRNGKey(1))

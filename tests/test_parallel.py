@@ -243,8 +243,9 @@ def test_parallel_masked_fused_matches_single(rng, monkeypatch):
     style_region = cwct.style_region_factors(z_s, smask, max_labels=8)
     remap_plan = video_remap_plan(smask, mapping)
 
-    # single-device reference of the identical chain
-    cm_ref = segment_mask(seg_params, frames)
+    # single-device reference of the identical chain (half=True is the
+    # masked program's default segmenter precision)
+    cm_ref = segment_mask(seg_params, frames, half=True)
     cm_ref = video_remap(cm_ref, *remap_plan, mapping, 0.02)
     z_c = rf.encode_fast(fast, frames, SMALL)
     z_cs = cwct.transfer_masked_factored(z_c, cm_ref, *style_region)

@@ -51,6 +51,12 @@ def build_parser():
     p.add_argument("--min_ratio", type=float, default=0.02)
     p.add_argument("--seg_ckpoint", type=str, default=None,
                    help="SegFormer-B4 checkpoint for --auto_seg")
+    p.add_argument("--seg_size", type=int, default=0,
+                   help="run the segmenter on a downscale capped at this "
+                        "size (0 = the reference's 1024 cap, "
+                        "segment.py:477); region statistics are "
+                        "insensitive to mask boundary precision, and the "
+                        "segmenter dominates the masked pipeline's cost")
     # ultra-resolution (4K+) tiling — bounded-memory single-chip path
     p.add_argument("--ultra_threshold", type=int, default=1536,
                    help="route images larger than this through spatial "
@@ -125,16 +131,17 @@ def main(argv=None):
 
     # segmenter capacity (reference: MAX 1024, segment.py:477): huge images
     # are segmented on a downscaled copy, then the mask is nearest-
-    # upsampled — labels are resolution-stable.
-    SEG_MAX = 1024
+    # upsampled — labels are resolution-stable. --seg_size lowers the cap
+    # (same knob as the video CLI's).
+    seg_max = args.seg_size if args.seg_size > 0 else 1024
 
     def _segment_capped(seg, img_u8):
         h0, w0 = img_u8.shape[1:3]
         x = device_put_image(img_u8)
-        if max(h0, w0) > SEG_MAX:
+        if max(h0, w0) > seg_max:
             from vstnet_tpu.ops.resize import resize_bilinear
 
-            f = SEG_MAX / max(h0, w0)
+            f = seg_max / max(h0, w0)
             nh = max(int(h0 * f) // 4 * 4, 4)
             nw = max(int(w0 * f) // 4 * 4, 4)
             import jax
@@ -148,12 +155,14 @@ def main(argv=None):
     if args.auto_seg:
         from vstnet_tpu.models.segformer import Segmenter
 
-        # half= stays off even under --fast: default-precision f32 already
-        # runs the segmenter convs as single bf16 passes on TPU; the bf16
-        # activation path measured SLOWER (86.1 vs 78.5 ms @1024², extra
-        # casts + f32-layernorm roundtrips). See PERF.md.
+        # --fast runs the segmenter in bf16 (the reference deploys it in
+        # half precision too, segment.py:479): 74.8 -> 55.3 ms @1024²
+        # device-side. The earlier "bf16 measured slower" note was a
+        # mismeasurement — an f32 bias add silently promoted the whole
+        # half program back to f32 (see PERF.md segmenter note).
         seg = Segmenter.load(args.seg_ckpoint, min_ratio=args.min_ratio,
-                             label_mapping=args.label_mapping)
+                             label_mapping=args.label_mapping,
+                             half=args.fast)
         cmask = _segment_capped(seg, content)
         smask = _segment_capped(seg, style)
         cmask, smask = seg.remap(cmask, smask)

@@ -126,9 +126,8 @@ def photo_pipeline_bench(size: int = 1024, iters: int = 5):
 
     @jax.jit
     def full(params, c, s):
-        # one batched segmenter pass for both images; f32 default
-        # precision beats the bf16 activation path on v5e (78.5 vs
-        # 86.1 ms @1024²) — see PERF.md
+        # one batched segmenter pass for both images; the fidelity path
+        # keeps the f32 segmenter
         cm, sm = jnp.split(
             segment_mask(seg.params, jnp.concatenate([c, s])), 2)
         return photo_forward(params, c, s, cm, sm, model.cfg,
@@ -136,8 +135,10 @@ def photo_pipeline_bench(size: int = 1024, iters: int = 5):
 
     @jax.jit
     def full_fast(fast, c, s):
+        # bf16 segmenter on the fast path (reference deploys half,
+        # segment.py:479; 74.8 -> 55.3 ms @1024² — PERF.md)
         cm, sm = jnp.split(
-            segment_mask(seg.params, jnp.concatenate([c, s])), 2)
+            segment_mask(seg.params, jnp.concatenate([c, s]), half=True), 2)
         return photo_forward_fast(fast, c, s, cm, sm, model.cfg,
                                   max_labels=64, use_masks=True)
 

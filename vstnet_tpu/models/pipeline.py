@@ -209,7 +209,8 @@ def make_fused_video_fn(cfg: RevResNetConfig, out_u8: bool = False,
 
 
 def make_masked_fused_video_fn(cfg: RevResNetConfig, min_ratio: float = 0.02,
-                               out_u8: bool = False, seg_hw=None):
+                               out_u8: bool = False, seg_hw=None,
+                               seg_half: bool = True):
     """fn(fast_params, seg_params, mapping, style_region, remap_plan,
     frames) -> (stylized, content_masks).
 
@@ -223,7 +224,12 @@ def make_masked_fused_video_fn(cfg: RevResNetConfig, min_ratio: float = 0.02,
     seg_hw=(sh, sw): run the segmenter on bilinear-downscaled frames (the
     reference itself caps the segmenter input, segment.py:477-479; region
     statistics are insensitive to boundary-pixel precision). The returned
-    masks are upsampled back to frame resolution (nearest)."""
+    masks are upsampled back to frame resolution (nearest).
+
+    seg_half (default True, matching the reference's half-precision
+    segmenter deployment, segment.py:479): bf16 backbone/head — masks
+    feed region statistics only, and boundary-pixel flips are noise
+    there."""
     from vstnet_tpu.models import revresnet_fast as rf
     from vstnet_tpu.models.remapping import video_remap
     from vstnet_tpu.models.segformer import segment_mask
@@ -235,7 +241,7 @@ def make_masked_fused_video_fn(cfg: RevResNetConfig, min_ratio: float = 0.02,
         seg_in = frames
         if seg_hw is not None and tuple(seg_hw) != frames.shape[1:3]:
             seg_in = resize_bilinear(frames, seg_hw[0], seg_hw[1])
-        cm = segment_mask(seg_params, seg_in)
+        cm = segment_mask(seg_params, seg_in, half=seg_half)
         cm = video_remap(cm, in_style, cross_tab, mapping, min_ratio)
         if cm.shape[1:] != frames.shape[1:3]:
             cm = jax.image.resize(

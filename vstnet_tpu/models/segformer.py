@@ -87,7 +87,10 @@ def _conv(x, p, stride=1, padding="SAME", groups=1):
                    else lax.Precision.DEFAULT),
     ).astype(x.dtype)
     if "b" in p:
-        out = out + p["b"]
+        # cast the bias: an f32 bias would promote a bf16 activation back
+        # to f32 — and, through LN's astype(dt), every block downstream —
+        # silently turning the half path into the f32 program
+        out = out + p["b"].astype(out.dtype)
     return out
 
 

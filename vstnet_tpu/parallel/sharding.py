@@ -123,7 +123,7 @@ def parallel_stylize_fused(mesh: Mesh, cfg: RevResNetConfig,
 def parallel_stylize_masked_fused(mesh: Mesh, cfg: RevResNetConfig,
                                   min_ratio: float = 0.02,
                                   out_u8: bool = False,
-                                  seg_hw=None):
+                                  seg_hw=None, seg_half: bool = True):
     """The masked (auto-seg) video program over all chips: frames sharded
     on 'data'; segmenter weights, the remap tables, and the per-label
     style statistics (cwct.style_region_factors — computed once per
@@ -143,7 +143,8 @@ def parallel_stylize_masked_fused(mesh: Mesh, cfg: RevResNetConfig,
     from vstnet_tpu.models.pipeline import make_masked_fused_video_fn
 
     local_fn = make_masked_fused_video_fn(cfg, min_ratio=min_ratio,
-                                          out_u8=out_u8, seg_hw=seg_hw)
+                                          out_u8=out_u8, seg_hw=seg_hw,
+                                          seg_half=seg_half)
 
     sharded = jax.shard_map(
         local_fn, mesh=mesh,
