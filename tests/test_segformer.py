@@ -244,6 +244,56 @@ def test_half_precision_logits_agree():
     assert m.shape == (1, 64, 64) and m.dtype == jnp.int32
 
 
+@pytest.mark.parametrize("g,n,m,d", [
+    (1, 64, 16, 64),    # stage-1 family: 1 head, M = N/4 here
+    (2, 48, 48, 64),    # sr_ratio 1 (M = N), N not a tile multiple (pad)
+    (5, 128, 32, 64),   # stage-3 family: 5 heads
+])
+def test_flash_attention_matches_einsum(rng, g, n, m, d):
+    """ops/attention.py single-pass flash kernel == the XLA einsum →
+    f32 softmax → einsum reference, including the bf16 probs cast and
+    the padded-N row slicing."""
+    from vstnet_tpu.ops.attention import sr_attention_flash
+
+    q = jnp.asarray(rng.standard_normal((g, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((g, m, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((g, m, d)), jnp.bfloat16)
+    scale = d ** -0.5
+
+    s = jnp.einsum("gnd,gmd->gnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    ref = jnp.einsum("gnm,gmd->gnd", p, v,
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    got = sr_attention_flash(q, k, v, float(scale), interpret=True)
+    assert got.shape == (g, n, d) and got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_attention_block_flash_vs_f32(rng):
+    """The bf16 segmenter block (which routes the flash kernel) tracks
+    the f32 einsum block through _attention — end-to-end dispatch check
+    at an sr_ratio>1 shape above the MIN_Q routing threshold."""
+    from vstnet_tpu.models.segformer import _attention, _init_block
+    from vstnet_tpu.ops.attention import flash_ok
+
+    hw = 96  # 9216 tokens >= MIN_Q: the kernel actually routes
+    assert flash_ok(hw * hw, (hw // 4) ** 2, jnp.bfloat16)
+    p = _init_block(jax.random.PRNGKey(3), 64, num_heads=1, sr_ratio=4)
+    x = jnp.asarray(rng.standard_normal((1, hw * hw, 64)) * 0.1,
+                    jnp.float32)
+    ref = np.asarray(_attention(x, p["attn"], hw, hw, 1, 4))
+    got = np.asarray(
+        _attention(x.astype(jnp.bfloat16), p["attn"], hw, hw, 1, 4),
+        dtype=np.float32)
+    cos = float((ref.ravel() @ got.ravel())
+                / (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-12))
+    assert cos > 0.99, f"flash-bf16 vs f32 attention cosine {cos:.4f}"
+
+
 def test_remap_video_batch_vs_single_style():
     """The video auto-seg case: a batch of frame masks remapped against
     ONE style mask (broadcast to the batch — the shapes the video CLI

@@ -99,7 +99,13 @@ def _conv(x, p, stride=1, padding="SAME", groups=1):
 # ---------------------------------------------------------------------------
 
 def _attention(x, p, h, w, num_heads, sr_ratio):
-    """Spatial-reduction attention (segment.py:44-84). x: (B, N, C)."""
+    """Spatial-reduction attention (segment.py:44-84). x: (B, N, C).
+
+    bf16 routes the single-pass flash kernel (ops/attention.py) — the
+    XLA einsum path materializes the (N, M) f32 score matrix in HBM
+    (268 MB per stage-1 block at 1024²); same math, same f32 softmax."""
+    from vstnet_tpu.ops.attention import flash_ok, sr_attention_flash
+
     b, n, c = x.shape
     hd = c // num_heads
     scale = hd ** -0.5
@@ -115,12 +121,20 @@ def _attention(x, p, h, w, num_heads, sr_ratio):
         xs = x
     kv = _linear(xs, p["kv"]).reshape(b, -1, 2, num_heads, hd)
     k, v = kv[:, :, 0], kv[:, :, 1]  # (B, M, heads, hd)
+    m = k.shape[1]
 
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                      preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if flash_ok(n, m, x.dtype):
+        qg = q.transpose(0, 2, 1, 3).reshape(b * num_heads, n, hd)
+        kg = k.transpose(0, 2, 1, 3).reshape(b * num_heads, m, hd)
+        vg = v.transpose(0, 2, 1, 3).reshape(b * num_heads, m, hd)
+        og = sr_attention_flash(qg, kg, vg, float(scale))
+        out = og.reshape(b, num_heads, n, hd).transpose(0, 2, 1, 3)
+    else:
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     return _linear(out.reshape(b, n, c), p["proj"])
 
 
