@@ -97,7 +97,10 @@ def _rand_branch(rng, cin, mid, cout):
             "conv3": conv(mid, cout)}
 
 
-@pytest.mark.parametrize("c,mid,h,w", [(16, 4, 32, 48), (8, 2, 16, 20), (16, 4, 16, 128)])
+@pytest.mark.parametrize("c,mid,h,w", [
+    (16, 4, 32, 48), (8, 2, 16, 20), (16, 4, 16, 128),
+    (128, 32, 16, 128),  # c >= 128: conv3 takes the split-ky dot path
+])
 def test_fused_coupling_flat_parity(rng, c, mid, h, w):
     """Flat rows-in-lanes kernel == XLA reference branch (reflect-pad
     border semantics of RevResNet.py:79-88), forward and inverse."""
@@ -121,8 +124,11 @@ def test_fused_coupling_flat_parity(rng, c, mid, h, w):
     got_inv = np.asarray(cf.flat_to_nhwc(
         cf.fused_coupling_flat(x1f, x2f, packed, h, w, th=th, inverse=True,
                                interpret=True), h, w))
-    np.testing.assert_allclose(got_fwd, ref_fwd, atol=2e-5)
-    np.testing.assert_allclose(got_inv, ref_inv, atol=2e-5)
+    # split-ky (c >= 128) sums conv3's K=9*mid reduction as two partial
+    # dots; f32 reassociation over the larger K grows roundoff with c.
+    atol = 2e-5 if c < 128 else 3e-4
+    np.testing.assert_allclose(got_fwd, ref_fwd, atol=atol)
+    np.testing.assert_allclose(got_inv, ref_inv, atol=atol)
 
 
 @pytest.mark.parametrize("c,mid,h,w,th", [

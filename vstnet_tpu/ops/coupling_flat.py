@@ -284,7 +284,8 @@ def _coupling_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h2 = _reflect_rows(h2, s, (1,), HALO - 2, t - 6, is_top, is_bottom)
 
     fx = _conv_flat(h2, w3_ref[...], b3_ref[...], c, s, pos((t - 4) * s),
-                    w_img, co, relu=False, out_dtype=jnp.float32)
+                    w_img, co, relu=False, out_dtype=jnp.float32,
+                    split_ky=c >= 128)
     # fx frame is [3, t-3) == exactly the output rows
     x1 = x1_ref[0].astype(jnp.float32)
     y = (x1 - fx) if inverse else (fx + x1)
