@@ -3,7 +3,7 @@ xplane device events record true TPU execution time regardless of RPC
 overhead — the methodology that exposed the 56 ms-device / 5.5 s-wall
 discrepancy in round 2, PERF.md).
 
-Usage: python scripts/profile_stylize.py [batch] [logdir]
+Usage: python scripts/profile_stylize.py [batch] [logdir] [H W]
 """
 
 import glob
@@ -25,13 +25,15 @@ from vstnet_tpu.models.revresnet import init_revresnet
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     logdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/prof_stylize"
+    h, w = ((int(sys.argv[3]), int(sys.argv[4]))
+            if len(sys.argv) > 4 else (512, 512))
     cfg = PHOTO_CONFIG
     dt = jnp.bfloat16
     c_lat = cfg.latent_channels
     params = init_revresnet(jax.random.PRNGKey(0), cfg)
     fast = rf.pack_revresnet(params, cfg, dtype=dt)
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.uniform(size=(batch, 512, 512, 3)), dt)
+    frames = jnp.asarray(rng.uniform(size=(batch, h, w, 3)), dt)
 
     zp1 = rf.encode_fast(fast, frames[:1], cfg, packed_latent=True)
     ls, mu = cwct.style_factors_packed(zp1, c_lat)
