@@ -335,3 +335,47 @@ def test_parallel_flat_step_sequence_and_bf16(devices_ok, rng):
         jax.block_until_ready(f2)
     assert np.isfinite(np.asarray(f2)).all()
     assert not np.allclose(np.asarray(f2), flat0_np)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host scaffolding (structure-level: multi-process execution can't run
+# here, so the deterministic logic is exercised single-process, the way the
+# 8-virtual-device mesh stands in for 8 chips)
+# ---------------------------------------------------------------------------
+
+def test_multihost_init_noop_without_env(monkeypatch):
+    from vstnet_tpu.parallel.multihost import init_distributed
+
+    for var in ("VSTNET_COORDINATOR", "VSTNET_NUM_PROCESSES",
+                "VSTNET_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_distributed() is False  # explicit opt-in required
+
+
+def test_multihost_batch_bounds():
+    from vstnet_tpu.parallel.multihost import process_batch_bounds
+
+    # simulated 4-process pod: contiguous equal slices covering the batch
+    bounds = [process_batch_bounds(32, 4, p) for p in range(4)]
+    assert bounds == [(0, 8), (8, 16), (16, 24), (24, 32)]
+    with pytest.raises(ValueError):
+        process_batch_bounds(30, 4, 0)  # not divisible
+    with pytest.raises(ValueError):
+        process_batch_bounds(32, 4, 4)  # pid out of range
+    # single-process (this environment): identity slice
+    assert process_batch_bounds(16) == (0, 16)
+
+
+def test_multihost_local_to_global_matches_shard_batch(devices_ok, rng):
+    from vstnet_tpu.parallel.multihost import (
+        global_mesh,
+        host_local_to_global,
+    )
+
+    mesh = global_mesh(axes=("data",))
+    assert mesh.devices.size == len(jax.devices())
+    x = rng.uniform(size=(16, 4, 4, 3)).astype(np.float32)
+    a = host_local_to_global(mesh, x)  # 1 process: local rows == global
+    b = shard_batch(mesh, x)
+    assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

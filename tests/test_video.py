@@ -118,6 +118,73 @@ def test_async_writer_matches_sync(tmp_path):
         assert fa.read() == fb.read()
 
 
+def test_async_writer_pool_matches_sync(tmp_path):
+    """Encode pool (4 workers) must byte-match the serial writer: encoding
+    is parallel but the appender restores sequence order."""
+    from vstnet_tpu.io.video import AsyncWriter
+
+    frames = _grad_frames(23)
+    p_sync = str(tmp_path / "sync.avi")
+    p_pool = str(tmp_path / "pool.avi")
+
+    w = AviWriter(p_sync, fps=10, quality=95)
+    for f in frames:
+        w.write(f)
+    w.close()
+
+    aw = AsyncWriter(AviWriter(p_pool, fps=10, quality=95),
+                     depth=4, workers=4)
+    assert aw._pooled and len(aw._threads) == 4
+    for f in frames:
+        aw.write(f)
+    aw.close()
+
+    with open(p_sync, "rb") as fa, open(p_pool, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_avi_writer_streams_to_disk(tmp_path):
+    """The writer must not buffer JPEGs in RAM: bytes hit the file as
+    frames are written, and the only per-frame host state is the 16-byte
+    idx1 entry."""
+    frames = _grad_frames(8)
+    p = str(tmp_path / "stream.avi")
+    w = AviWriter(p, fps=10, quality=95)
+    import os as _os
+
+    w.write(frames[0])
+    w._f.flush()
+    size_after_1 = _os.path.getsize(p)
+    assert size_after_1 > 200  # header + first frame chunk on disk already
+    for f in frames[1:]:
+        w.write(f)
+    w._f.flush()
+    assert _os.path.getsize(p) > size_after_1
+    assert not hasattr(w, "_jpegs")  # no in-RAM JPEG accumulation
+    assert len(w._idx) == 8
+    w.close()
+
+    back, _ = read_avi(p)
+    assert len(back) == 8
+
+
+def test_async_writer_pool_propagates_errors(tmp_path):
+    """A write_payload failure in the appender thread surfaces at close()
+    even when encoding itself succeeds."""
+    from vstnet_tpu.io.video import AsyncWriter
+
+    class FailingAppend(AviWriter):
+        def write_payload(self, payload):
+            raise RuntimeError("disk full")
+
+    aw = AsyncWriter(FailingAppend(str(tmp_path / "f.avi"), fps=10),
+                     workers=2)
+    for f in _grad_frames(3):
+        aw.write(f)
+    with pytest.raises((RuntimeError, ValueError)):
+        aw.close()
+
+
 def test_async_writer_propagates_errors(tmp_path):
     from vstnet_tpu.io.video import AsyncWriter
 

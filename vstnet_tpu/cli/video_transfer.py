@@ -100,14 +100,23 @@ def main(argv=None):
         model = StyleModel.random_init(mode=args.mode)
     cfg = model.cfg
 
-    # ----- device topology: use every local chip ------------------------
-    n_dev = jax.local_device_count()
+    # ----- device topology: every chip in the job (pod-aware) ----------
+    from vstnet_tpu.parallel.multihost import (
+        host_local_to_global,
+        init_distributed,
+        process_batch_bounds,
+    )
+
+    init_distributed()  # env-gated; single-host runs fall through
+    n_proc = jax.process_count()
+    n_dev = jax.device_count()
     mesh = None
     if n_dev > 1:
         from vstnet_tpu.parallel import make_mesh
 
         mesh = make_mesh(n_dev, axes=("data",))
-        print(f"data-parallel over {n_dev} local devices")
+        print(f"data-parallel over {n_dev} devices"
+              + (f" on {n_proc} hosts" if n_proc > 1 else ""))
     batch_total = args.batch * max(n_dev, 1)
 
     frames_iter, n_frames, src_fps = read_frames(args.video)
@@ -328,6 +337,11 @@ def main(argv=None):
     def to_device_batch(batch_np):
         x = np.stack(batch_np)
         if mesh is not None:
+            if n_proc > 1:
+                # pod: every host decodes the stream, each uploads only
+                # its contiguous slice of the global batch
+                lo, hi = process_batch_bounds(x.shape[0], n_proc)
+                return _prep(host_local_to_global(mesh, x[lo:hi]))
             from vstnet_tpu.parallel import shard_batch
 
             return _prep(shard_batch(mesh, x))
@@ -388,11 +402,27 @@ def main(argv=None):
     return out_path
 
 
+def _np_global(x):
+    """Device array -> host numpy; on a pod the output shards live on
+    other hosts, so gather them (every process participates)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _drain(item, writer, label_writer, color_writer, palette):
     out, n, cm = item
-    arr = np.asarray(out)  # blocks on device
+    arr = _np_global(out)  # blocks on device
     if cm is not None:
-        cm = np.asarray(cm)
+        cm = _np_global(cm)
+    import jax
+
+    if jax.process_index() != 0:
+        return n  # container writing is a process-0 duty
     for i in range(n):
         writer.write(arr[i])
         if cm is not None and label_writer is not None:

@@ -89,77 +89,140 @@ def read_avi(path: str) -> Tuple[List[np.ndarray], float]:
 # MJPEG AVI writer
 # ---------------------------------------------------------------------------
 
+def _encode_jpeg(frame: np.ndarray, quality: int) -> bytes:
+    """HWC uint8 RGB -> JPEG bytes. Routes through cv2 (libjpeg-turbo,
+    measured ~1.5x faster than PIL at 512²) when importable, PIL
+    otherwise. Pure function — safe to call from many threads at once,
+    which is what AsyncWriter's encode pool does."""
+    cv2 = _cv2()
+    if cv2 is not None:
+        ok, enc = cv2.imencode(
+            ".jpg", np.ascontiguousarray(frame[:, :, ::-1]),
+            [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)])
+        if ok:
+            return enc.tobytes()
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(frame).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _as_uint8(frame: np.ndarray) -> np.ndarray:
+    if frame.dtype != np.uint8:
+        frame = np.clip(np.asarray(frame) * 255.0, 0, 255).astype(np.uint8)
+    return frame
+
+
 class AviWriter:
-    """Streaming MJPEG AVI writer (RIFF + avih/strh/strf + movi + idx1)."""
+    """Streaming MJPEG AVI writer (RIFF + avih/strh/strf + movi + idx1).
+
+    Truly streaming: the header goes to disk on the first frame (with
+    placeholder counts), every frame chunk is appended immediately, and
+    close() writes idx1 then seeks back to patch the RIFF/avih/strh/movi
+    size fields. Host memory is O(1) in video length — only the 16-byte
+    idx1 entries accumulate (160 KB for a 10k-frame video), never the
+    JPEGs. This replaces the reference's buffer-whole-video writers
+    (video_transfer.py:89-106 holds cv2 writers, but ingests the entire
+    input into RAM at 68-78).
+
+    The encode step is exposed separately (`encode` / `write_payload`) so
+    AsyncWriter can fan JPEG compression out over a thread pool while this
+    class remains the single ordered container appender.
+    """
+
+    # fixed header geometry (bytes): RIFF(12) LIST hdrl(12 + avih(8+56)
+    #   + LIST strl(12 + strh(8+56) + strf(8+40))) then LIST movi header.
+    _AVIH_OFF = 12 + 12 + 8          # file offset of the avih payload
+    _STRH_OFF = _AVIH_OFF + 56 + 12 + 8   # offset of the strh payload
+    _MOVI_LIST_OFF = _STRH_OFF + 56 + 8 + 40  # offset of 'LIST' for movi
 
     def __init__(self, path: str, fps: float = 25.0, quality: int = 92):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         self.fps = fps
         self.quality = quality
-        self._jpegs: List[bytes] = []
+        self._f = None
         self._size: Optional[Tuple[int, int]] = None
+        self._idx: List[Tuple[int, int]] = []   # (offset rel. movi, size)
+        self._movi_pos = 0                       # running offset in movi
+        self._max_bytes = 0
 
-    def write(self, frame: np.ndarray):
-        """frame: HWC uint8 RGB (or float [0,1])."""
-        from PIL import Image
+    # -- split encode/append API (the encode half is thread-safe) ---------
+    def encode(self, frame: np.ndarray):
+        """Pure CPU half: frame -> payload accepted by write_payload()."""
+        frame = _as_uint8(frame)
+        return (_encode_jpeg(frame, self.quality),
+                (frame.shape[1], frame.shape[0]))
 
-        if frame.dtype != np.uint8:
-            frame = np.clip(np.asarray(frame) * 255.0, 0, 255).astype(np.uint8)
-        if self._size is None:
-            self._size = (frame.shape[1], frame.shape[0])
-        buf = io.BytesIO()
-        Image.fromarray(frame).save(buf, "JPEG", quality=self.quality)
-        self._jpegs.append(buf.getvalue())
-
-    def close(self):
-        if self._size is None:
-            raise ValueError("no frames written")
-        w, h = self._size
-        n = len(self._jpegs)
-
-        def chunk(fourcc: bytes, payload: bytes) -> bytes:
-            pad = b"\x00" if len(payload) & 1 else b""
-            return fourcc + struct.pack("<I", len(payload)) + payload + pad
-
-        def lst(list_type: bytes, payload: bytes) -> bytes:
-            return chunk(b"LIST", list_type + payload)
-
+    def _open(self, w: int, h: int):
+        self._size = (w, h)
+        self._f = open(self.path, "wb")
         usec = int(1e6 / max(self.fps, 1e-6))
-        max_bytes = max(len(j) for j in self._jpegs)
+        # placeholder counts/sizes; close() patches them in place
         avih = struct.pack(
             "<IIIIIIIIIIIIII",
-            usec, max_bytes * int(self.fps), 0, 0x10,  # HASINDEX
-            n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+            usec, 0, 0, 0x10,  # HASINDEX
+            0, 0, 1, 0, w, h, 0, 0, 0, 0,
         )
         strh = struct.pack(
             "<4s4sIHHIIIIIIIIhhhh",
             b"vids", b"MJPG", 0, 0, 0, 0, 1, int(round(self.fps)),
-            0, n, max_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+            0, 0, 0, 0xFFFFFFFF, 0, 0, 0, w, h,
         )
         strf = struct.pack(
             "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
         )
-        hdrl = lst(
-            b"hdrl",
-            chunk(b"avih", avih)
-            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-        )
+        strl = b"LIST" + struct.pack("<I", 4 + 8 + 56 + 8 + 40) + b"strl" \
+            + b"strh" + struct.pack("<I", 56) + strh \
+            + b"strf" + struct.pack("<I", 40) + strf
+        hdrl = b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl" \
+            + b"avih" + struct.pack("<I", 56) + avih + strl
+        self._f.write(b"RIFF" + struct.pack("<I", 0) + b"AVI " + hdrl)
+        assert self._f.tell() == self._MOVI_LIST_OFF
+        self._f.write(b"LIST" + struct.pack("<I", 0) + b"movi")
+        self._movi_pos = 4  # idx offsets are relative to the movi fourcc
 
-        movi_payload = b"".join(chunk(b"00dc", j) for j in self._jpegs)
-        movi = lst(b"movi", movi_payload)
+    def write_payload(self, payload):
+        """Append one encoded frame (output of encode()) to the container."""
+        jpeg, (w, h) = payload
+        if self._f is None:
+            self._open(w, h)
+        pad = b"\x00" if len(jpeg) & 1 else b""
+        self._f.write(b"00dc" + struct.pack("<I", len(jpeg)) + jpeg + pad)
+        self._idx.append((self._movi_pos, len(jpeg)))
+        self._movi_pos += 8 + len(jpeg) + len(pad)
+        self._max_bytes = max(self._max_bytes, len(jpeg))
 
-        idx_entries = []
-        off = 4  # offsets are relative to the 'movi' list-type fourcc
-        for j in self._jpegs:
-            idx_entries.append(
-                struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
-            off += 8 + len(j) + (len(j) & 1)
-        idx1 = chunk(b"idx1", b"".join(idx_entries))
+    def write(self, frame: np.ndarray):
+        """frame: HWC uint8 RGB (or float [0,1])."""
+        self.write_payload(self.encode(frame))
 
-        body = b"AVI " + hdrl + movi + idx1
-        with open(self.path, "wb") as f:
-            f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    def close(self):
+        if self._f is None:
+            raise ValueError("no frames written")
+        f, (w, h) = self._f, self._size
+        n = len(self._idx)
+        idx1 = b"".join(
+            struct.pack("<4sIII", b"00dc", 0x10, off, size)
+            for off, size in self._idx)
+        f.write(b"idx1" + struct.pack("<I", len(idx1)) + idx1)
+        file_size = f.tell()
+        # patch the placeholder sizes now that counts are known
+        f.seek(4)
+        f.write(struct.pack("<I", file_size - 8))            # RIFF size
+        f.seek(self._AVIH_OFF + 4)
+        f.write(struct.pack("<I", self._max_bytes * int(self.fps)))
+        f.seek(self._AVIH_OFF + 16)
+        f.write(struct.pack("<I", n))                        # dwTotalFrames
+        f.seek(self._AVIH_OFF + 28)
+        f.write(struct.pack("<I", self._max_bytes))          # suggested buf
+        f.seek(self._STRH_OFF + 32)
+        f.write(struct.pack("<II", n, self._max_bytes))      # dwLength, buf
+        f.seek(self._MOVI_LIST_OFF + 4)
+        f.write(struct.pack("<I", self._movi_pos))           # movi list size
+        f.close()
+        self._f = None
         return self.path
 
     def __enter__(self):
@@ -335,43 +398,125 @@ def prefetch_frames(frames: Iterator[np.ndarray],
 
 
 class AsyncWriter:
-    """Threaded wrapper over a frame writer: write() enqueues, a worker
-    thread runs the (CPU-bound JPEG encode) inner write, close() drains
-    and closes. Worker exceptions re-raise on the caller's next
-    write()/close()."""
+    """Threaded wrapper over a frame writer. Two shapes, picked by the
+    inner writer's capabilities:
 
-    def __init__(self, inner, depth: int = 64):
+      * encode POOL (inner exposes thread-safe ``encode``/``write_payload``,
+        e.g. AviWriter): write() enqueues (seq, frame); N encoder threads
+        JPEG-compress concurrently — the CPU-bound half, ~5-7 ms/frame at
+        512² per core — and a single appender drains the results back into
+        sequence order before touching the container. At the ≥1000 fps
+        north star the single-threaded encoder was the measured host
+        bottleneck (~150-215 fps/core); the pool's ceiling scales with
+        host cores (scripts/bench_video_e2e.py measures it).
+      * serial (any other writer, e.g. Cv2Writer whose encode lives inside
+        cv2.VideoWriter.write): one worker thread runs inner.write, the
+        pre-round-4 behavior.
+
+    Worker exceptions re-raise on the caller's next write()/close().
+    """
+
+    def __init__(self, inner, depth: int = 64, workers: Optional[int] = None):
         import queue
         import threading
 
         self._inner = inner
-        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._err: Optional[BaseException] = None
-        self._thread = threading.Thread(target=self._work, daemon=True)
-        self._thread.start()
+        self._pooled = hasattr(inner, "encode") and hasattr(
+            inner, "write_payload")
+        if workers is None:
+            workers = min(os.cpu_count() or 1, 8) if self._pooled else 1
+        self._workers = max(1, workers) if self._pooled else 1
+        depth = max(depth, 1)
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._seq = 0
+        self._threads = []
+        if self._pooled:
+            # encoders feed an ordered drain; the appender owns the file
+            self._out: "queue.Queue" = queue.Queue(maxsize=depth)
+            for _ in range(self._workers):
+                t = threading.Thread(target=self._encode_work, daemon=True)
+                t.start()
+                self._threads.append(t)
+            self._appender = threading.Thread(
+                target=self._append_work, daemon=True)
+            self._appender.start()
+        else:
+            t = threading.Thread(target=self._serial_work, daemon=True)
+            t.start()
+            self._threads.append(t)
 
-    def _work(self):
+    # -- serial shape ------------------------------------------------------
+    def _serial_work(self):
         while True:
             item = self._q.get()
             if item is _SENTINEL:
                 return
             if self._err is None:
                 try:
-                    self._inner.write(item)
+                    self._inner.write(item[1])
                 except BaseException as e:
                     self._err = e  # surface on next write()/close()
 
+    # -- pool shape --------------------------------------------------------
+    def _encode_work(self):
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                self._out.put(_SENTINEL)
+                return
+            seq, frame = item
+            if self._err is not None:
+                continue
+            try:
+                self._out.put((seq, self._inner.encode(frame)))
+            except BaseException as e:
+                self._err = e
+
+    def _append_work(self):
+        pending = {}
+        next_seq = 0
+        ended = 0
+        while ended < self._workers:
+            item = self._out.get()
+            if item is _SENTINEL:
+                ended += 1
+                continue
+            seq, payload = item
+            pending[seq] = payload
+            while next_seq in pending and self._err is None:
+                try:
+                    self._inner.write_payload(pending.pop(next_seq))
+                except BaseException as e:
+                    self._err = e
+                    break
+                next_seq += 1
+        # flush any stragglers that arrived out of order before the end
+        while next_seq in pending and self._err is None:
+            try:
+                self._inner.write_payload(pending.pop(next_seq))
+            except BaseException as e:
+                self._err = e
+                break
+            next_seq += 1
+
+    # -- caller API --------------------------------------------------------
     def _check(self):
         if self._err is not None:
             raise self._err  # sticky: a failed stream stays failed
 
     def write(self, frame: np.ndarray):
         self._check()
-        self._q.put(frame)
+        self._q.put((self._seq, frame))
+        self._seq += 1
 
     def close(self):
-        self._q.put(_SENTINEL)
-        self._thread.join()
+        for _ in self._threads:
+            self._q.put(_SENTINEL)
+        for t in self._threads:
+            t.join()
+        if self._pooled:
+            self._appender.join()
         try:
             self._inner.close()  # always finalize the container
         finally:

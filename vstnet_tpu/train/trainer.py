@@ -291,25 +291,37 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
     (losses are global-batch means either way).
     """
     from vstnet_tpu.ops.warp import generate_fake_flow
+    from vstnet_tpu.parallel.multihost import (
+        host_local_to_global,
+        init_distributed,
+        process_batch_bounds,
+    )
     from vstnet_tpu.train.data import InfiniteLoader
 
-    n_dev = jax.local_device_count()
+    # pod scaffolding: env-gated (VSTNET_COORDINATOR/...); single-host
+    # runs fall straight through with process_count() == 1
+    init_distributed()
+    n_proc = jax.process_count()
+    n_dev = jax.device_count()  # GLOBAL device count (spans hosts)
     if data_parallel == "on" and n_dev < 2:
         raise ValueError(f"--data_parallel on: only {n_dev} device visible")
     use_dp = data_parallel in ("auto", "on") and n_dev > 1
     batch = tc.batch_size * (n_dev if use_dp else 1)
+    # each host's loaders produce only its contiguous slice of the batch
+    lo, hi = process_batch_bounds(batch, n_proc)
+    local_batch = hi - lo
 
     logs_dir = os.path.join(tc.logs_directory, tc.base_name)
     ckpt_dir = os.path.join(logs_dir, "checkpoints")
     img_dir = os.path.join(logs_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
 
-    loader_a = InfiniteLoader(content_dir, batch, tc.new_size,
+    loader_a = InfiniteLoader(content_dir, local_batch, tc.new_size,
                               tc.crop_size, num_workers=loader_workers,
-                              seed=tc.seed)
-    loader_b = InfiniteLoader(style_dir, batch, tc.new_size,
+                              seed=tc.seed + jax.process_index())
+    loader_b = InfiniteLoader(style_dir, local_batch, tc.new_size,
                               tc.crop_size, num_workers=loader_workers,
-                              seed=tc.seed + 1000)
+                              seed=tc.seed + 1000 + jax.process_index())
 
     if resume:
         state, opt = load_checkpoint(tc, ckpt_dir, resume_iter=resume_iter,
@@ -324,12 +336,19 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
         from vstnet_tpu.parallel import shard_batch as _shard
 
         mesh = make_mesh(n_dev, axes=("data",))
-        print(f"data-parallel training over {n_dev} devices "
-              f"(global batch {batch})")
+        if jax.process_index() == 0:
+            print(f"data-parallel training over {n_dev} devices"
+                  + (f" on {n_proc} hosts" if n_proc > 1 else "")
+                  + f" (global batch {batch})")
         pstep = make_parallel_flat_step(
             mesh, opt, tc.model_cfg, tc.weights, state.unravel,
             compute_dtype=(jnp.bfloat16 if tc.precision.lower() == "bf16"
                            else None))
+
+        if n_proc > 1:
+            # per-host local rows -> one global batch-sharded array
+            def _shard(mesh, x):  # noqa: F811
+                return host_local_to_global(mesh, np.asarray(x))
 
         def step_fn(flat, opt_state, vggp, a, b, flow, noise,
                     temporal_phase=False):
@@ -341,8 +360,8 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
     else:
         step_fn = make_flat_step(tc, opt, state.unravel)
 
-    host_rng = np.random.default_rng(tc.seed + 7)
-    noise_key = jax.random.PRNGKey(tc.seed + 13)
+    host_rng = np.random.default_rng(tc.seed + 7 + jax.process_index())
+    noise_key = jax.random.PRNGKey(tc.seed + 13 + jax.process_index())
     t0 = time.time()
     end = tc.total_iterations if max_steps is None else min(
         tc.total_iterations, state.step + max_steps)
@@ -366,6 +385,8 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
                                      flow, noise, temporal)
 
         it = state.step
+        if n_proc > 1 and jax.process_index() != 0:
+            continue  # logging/samples/checkpoints are process-0 duties
         if it % tc.log_every == 0:
             w = tc.weights
             msg = (
@@ -402,7 +423,8 @@ def train(tc: TrainConfig, content_dir, style_dir, vgg_params,
 
     loader_a.close()
     loader_b.close()
-    save_checkpoint(state, ckpt_dir, "last.pt")
+    if jax.process_index() == 0:
+        save_checkpoint(state, ckpt_dir, "last.pt")
     return state
 
 
