@@ -73,9 +73,61 @@ def revresnet_from_torch(sd: Dict[str, np.ndarray], dtype=jnp.float32) -> Dict:
     return {"stack": stack, "reduction": reduction}
 
 
-def load_revresnet(path: str, dtype=jnp.float32) -> Dict:
-    """Load reference-format .pt/.pth directly into a params pytree."""
-    return revresnet_from_torch(load_torch_state_dict(path), dtype)
+def tolerant_state_dict(sd: Dict[str, np.ndarray],
+                        expected: Dict[str, np.ndarray],
+                        label: str = "checkpoint") -> Dict[str, np.ndarray]:
+    """Reference GGUF-loader semantics for foreign checkpoints
+    (/root/reference/project/ggml/include/ggml_engine.h:400-423): every
+    expected tensor that is MISSING from `sd`, or present with the wrong
+    shape, is skipped with a warning and keeps the `expected` (initialized)
+    value; extra tensors in `sd` (optimizer buffers, other heads) are
+    ignored with one summary warning. Returns a complete state_dict the
+    strict converters can consume."""
+    import warnings
+
+    out = {}
+    for k, want in expected.items():
+        if k not in sd:
+            warnings.warn(f"{label}: missing tensor {k} — "
+                          "keeping initialized value")
+            out[k] = np.asarray(want)
+        elif tuple(np.shape(sd[k])) != tuple(np.shape(want)):
+            warnings.warn(
+                f"{label}: tensor {k} shape {tuple(np.shape(sd[k]))} != "
+                f"expected {tuple(np.shape(want))} — "
+                "keeping initialized value")
+            out[k] = np.asarray(want)
+        else:
+            out[k] = np.asarray(sd[k])
+    extra = sorted(set(sd) - set(expected))
+    if extra:
+        warnings.warn(
+            f"{label}: {len(extra)} unused tensor(s) ignored "
+            f"(e.g. {extra[:3]})")
+    return out
+
+
+def load_revresnet(path: str, dtype=jnp.float32, strict: bool = True,
+                   cfg=None, seed: int = 0) -> Dict:
+    """Load reference-format .pt/.pth directly into a params pytree.
+
+    strict=False (reference loader behavior, ggml_engine.h:400-423):
+    missing / shape-mismatched tensors are skipped with warnings and keep
+    their random-init values; requires `cfg` (a RevResNetConfig) to know
+    the expected weight tree."""
+    sd = load_torch_state_dict(path)
+    if not strict:
+        if cfg is None:
+            raise ValueError("strict=False needs cfg= to size the "
+                             "expected weight tree")
+        import jax
+
+        from vstnet_tpu.models.revresnet import init_revresnet
+
+        expected = revresnet_to_torch(
+            init_revresnet(jax.random.PRNGKey(seed), cfg))
+        sd = tolerant_state_dict(sd, expected, label=path)
+    return revresnet_from_torch(sd, dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -324,8 +324,28 @@ def revresnet_to_gguf(params, path: str, dtype: str = "f16"):
     return write_gguf(path, sd, dtype)
 
 
-def revresnet_from_gguf(path: str, dtype=None):
+def revresnet_from_gguf(path: str, dtype=None, strict: bool = True,
+                        cfg=None, seed: int = 0):
+    """strict=False: skip-with-warning on missing/mismatched tensors
+    against a cfg-sized expected tree (the reference GGUF loader's own
+    behavior, ggml_engine.h:400-423)."""
     from vstnet_tpu.io.checkpoint import revresnet_from_torch
     import jax.numpy as jnp
 
-    return revresnet_from_torch(read_gguf(path), dtype or jnp.float32)
+    sd = read_gguf(path)
+    if not strict:
+        if cfg is None:
+            raise ValueError("strict=False needs cfg= to size the "
+                             "expected weight tree")
+        import jax
+
+        from vstnet_tpu.io.checkpoint import (
+            revresnet_to_torch,
+            tolerant_state_dict,
+        )
+        from vstnet_tpu.models.revresnet import init_revresnet
+
+        expected = revresnet_to_torch(
+            init_revresnet(jax.random.PRNGKey(seed), cfg))
+        sd = tolerant_state_dict(sd, expected, label=path)
+    return revresnet_from_torch(sd, dtype or jnp.float32)

@@ -47,7 +47,8 @@ MAX_RATIO_PACKAGE = 10.0
 # Robust Cholesky
 # ---------------------------------------------------------------------------
 
-def robust_cholesky(cov, eps: float = EPS_DEFAULT, attempts: int = 8):
+def robust_cholesky(cov, eps: float = EPS_DEFAULT, attempts: int = 8,
+                    use_double: bool = False):
     """First finite Cholesky among escalating diagonal jitters
     (vectorized form of /root/reference/models/cWCT.py:111-128; the k=0
     candidate keeps the common case bit-comparable).
@@ -56,7 +57,13 @@ def robust_cholesky(cov, eps: float = EPS_DEFAULT, attempts: int = 8):
     escalation" (cWCT.py:127-128): if no jitter yields a finite factor
     (e.g. non-finite input covariance), the result is NaN and poisons the
     output, which host boundaries detect via `host_check_finite` — never a
-    silent identity fallback."""
+    silent identity fallback.
+
+    use_double=True is the reference's `use_double` escape hatch
+    (cWCT.py:13): after the f32 escalation fails, retry the factorization
+    in float64 on the HOST (TPUs have no f64 units) via pure_callback.
+    Opt-in fidelity mode — the callback fences the program at every call,
+    so it stays off the production fast paths."""
     c = cov.shape[-1]
     eye = jnp.eye(c, dtype=cov.dtype)
     scales = jnp.concatenate(
@@ -69,8 +76,37 @@ def robust_cholesky(cov, eps: float = EPS_DEFAULT, attempts: int = 8):
     ok = jnp.all(jnp.isfinite(ls), axis=(-1, -2))
     idx = jnp.argmax(ok)
     l = ls[idx]
-    return jnp.where(jnp.all(jnp.isfinite(l)), l,
-                     jnp.full_like(l, jnp.nan))
+    bad = ~jnp.all(jnp.isfinite(l))
+    if use_double:
+        # last resort: full ladder regardless of the f32 attempt budget —
+        # f64 arithmetic can factor matrices every f32 jitter step loses
+        # to rounding, and a rounded-indefinite f32 covariance still needs
+        # a jitter step even in f64
+        l64 = jax.pure_callback(
+            partial(_host_cholesky_f64, eps=eps, attempts=max(attempts, 8)),
+            jax.ShapeDtypeStruct(cov.shape, cov.dtype), cov,
+            vmap_method="sequential")
+        l = jnp.where(bad, l64, l)
+        bad = ~jnp.all(jnp.isfinite(l))
+    return jnp.where(bad, jnp.full_like(l, jnp.nan), l)
+
+
+def _host_cholesky_f64(cov_np, eps: float, attempts: int):
+    """Host-side float64 Cholesky with the same eps-escalation ladder;
+    returns NaN on total failure (poison contract preserved)."""
+    import numpy as np
+
+    c64 = np.asarray(cov_np, dtype=np.float64)
+    eye = np.eye(c64.shape[-1])
+    for k in range(attempts):
+        jitter = 0.0 if k == 0 else eps * (2.0 ** (k - 1))
+        try:
+            l = np.linalg.cholesky(c64 + jitter * eye)
+            if np.all(np.isfinite(l)):
+                return l.astype(cov_np.dtype)
+        except np.linalg.LinAlgError:
+            continue
+    return np.full_like(np.asarray(cov_np), np.nan)
 
 
 def host_check_finite(x, what: str = "stylized output"):
@@ -128,11 +164,12 @@ def _masked_stats(x, w):
     return n, mean, cov
 
 
-def _region_transform(mean_c, cov_c, mean_s, cov_s, eps):
+def _region_transform(mean_c, cov_c, mean_s, cov_s, eps,
+                      use_double: bool = False):
     """T = Ls @ Lc^{-1}, b = mu_s - T mu_c (the package's fused
     content_feat_coloring algebra, cwct.py:86-106)."""
-    lc = robust_cholesky(cov_c, eps)
-    ls = robust_cholesky(cov_s, eps)
+    lc = robust_cholesky(cov_c, eps, use_double=use_double)
+    ls = robust_cholesky(cov_s, eps, use_double=use_double)
     t = _mm(ls, _inv_lower(lc))
     b = mean_s - _mm(t, mean_c)
     return t, b
@@ -173,10 +210,13 @@ def _to_nc(feat):
 # Global transfer
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("eps",))
-def transfer(content_feat, style_feat, eps: float = EPS_DEFAULT):
+@partial(jax.jit, static_argnames=("eps", "use_double"))
+def transfer(content_feat, style_feat, eps: float = EPS_DEFAULT,
+             use_double: bool = False):
     """Global cWCT. content_feat (B,Hc,Wc,C), style_feat (B,Hs,Ws,C).
-    Mirrors cWCT._transfer (/root/reference/models/cWCT.py:24-47)."""
+    Mirrors cWCT._transfer (/root/reference/models/cWCT.py:24-47).
+    use_double retries failed factorizations in f64 on the host (the
+    reference's use_double flag, cWCT.py:13) — fidelity escape hatch."""
     shape = content_feat.shape
     dt = content_feat.dtype
     xc = _to_nc(content_feat).astype(jnp.float32)
@@ -185,7 +225,7 @@ def transfer(content_feat, style_feat, eps: float = EPS_DEFAULT):
     def one(xcb, xsb):
         mc, cc = _feat_stats(xcb)
         ms, cs = _feat_stats(xsb)
-        t, b = _region_transform(mc, cc, ms, cs, eps)
+        t, b = _region_transform(mc, cc, ms, cs, eps, use_double)
         return _apply(xcb, t, b)
 
     out = jax.vmap(one)(xc, xs)

@@ -394,11 +394,12 @@ class StyleModel:
 
     @classmethod
     def from_checkpoint(cls, path: str, mode: str = "photorealistic",
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, strict: bool = True):
         from vstnet_tpu.io.checkpoint import load_revresnet
 
         cfg = PHOTO_CONFIG if mode.lower() == "photorealistic" else ARTISTIC_CONFIG
-        return cls(cfg=cfg, params=load_revresnet(path, dtype), mode=mode)
+        return cls(cfg=cfg, mode=mode,
+                   params=load_revresnet(path, dtype, strict=strict, cfg=cfg))
 
     @classmethod
     def random_init(cls, seed: int = 0, mode: str = "photorealistic"):

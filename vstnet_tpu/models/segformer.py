@@ -355,6 +355,61 @@ def _t_ln(sd, prefix):
             "b": jnp.asarray(sd[f"{prefix}.bias"])}
 
 
+def _inv_lin(out, p, prefix):
+    out[f"{prefix}.weight"] = np.asarray(p["w"]).T
+    out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _inv_conv(out, p, prefix):
+    out[f"{prefix}.weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+    if "b" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _inv_ln(out, p, prefix):
+    out[f"{prefix}.weight"] = np.asarray(p["g"])
+    out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def segformer_to_torch(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of segformer_from_torch: params pytree -> reference
+    state_dict keys (backbone.*/decode_head.*, segment.py layout). Used
+    for export and to size the expected tree for tolerant loading."""
+    out: Dict[str, np.ndarray] = {}
+    for s, pe in enumerate(params["patch_embed"]):
+        _inv_conv(out, pe["proj"], f"backbone.patch_embed{s + 1}.proj")
+        _inv_ln(out, pe["norm"], f"backbone.patch_embed{s + 1}.norm")
+    for s, st in enumerate(params["stages"]):
+        depth = int(st["blocks"]["norm1"]["g"].shape[0])
+        for i in range(depth):
+            blk = jax.tree.map(lambda x, i=i: x[i], st["blocks"])
+            bp = f"backbone.block{s + 1}.{i}"
+            _inv_ln(out, blk["norm1"], f"{bp}.norm1")
+            _inv_lin(out, blk["attn"]["q"], f"{bp}.attn.q")
+            _inv_lin(out, blk["attn"]["kv"], f"{bp}.attn.kv")
+            _inv_lin(out, blk["attn"]["proj"], f"{bp}.attn.proj")
+            if "sr" in blk["attn"]:
+                _inv_conv(out, blk["attn"]["sr"], f"{bp}.attn.sr")
+                _inv_ln(out, blk["attn"]["norm"], f"{bp}.attn.norm")
+            _inv_ln(out, blk["norm2"], f"{bp}.norm2")
+            _inv_lin(out, blk["mlp"]["fc1"], f"{bp}.mlp.fc1")
+            _inv_conv(out, blk["mlp"]["dw"], f"{bp}.mlp.dwconv.dwconv")
+            _inv_lin(out, blk["mlp"]["fc2"], f"{bp}.mlp.fc2")
+        _inv_ln(out, st["norm"], f"backbone.norm{s + 1}")
+    head = params["head"]
+    for i, lc in enumerate(head["linear_c"]):
+        _inv_lin(out, lc, f"decode_head.linear_c{i + 1}.proj")
+    out["decode_head.linear_fuse.conv.weight"] = np.asarray(
+        head["fuse"]["w"]).transpose(3, 2, 0, 1)
+    bn = head["fuse"]["bn"]
+    out["decode_head.linear_fuse.bn.weight"] = np.asarray(bn["g"])
+    out["decode_head.linear_fuse.bn.bias"] = np.asarray(bn["b"])
+    out["decode_head.linear_fuse.bn.running_mean"] = np.asarray(bn["mean"])
+    out["decode_head.linear_fuse.bn.running_var"] = np.asarray(bn["var"])
+    _inv_conv(out, head["pred"], "decode_head.linear_pred")
+    return out
+
+
 def infer_depths(sd) -> tuple:
     """Per-stage block counts from the checkpoint's backbone.blockS.i.*
     keys — distinguishes MiT-B4 (3,8,27,3) from B5 (3,6,40,3) without a
@@ -453,17 +508,28 @@ class Segmenter:
     @classmethod
     def load(cls, checkpoint: Optional[str] = None, min_ratio: float = 0.01,
              label_mapping: Optional[str] = None, seed: int = 0,
-             depths=DEPTHS, half: bool = False):
+             depths=DEPTHS, half: bool = False, strict: bool = True):
         """Checkpoint depths (B4 vs B5) are auto-detected; `depths` only
         sets the profile of a random-init (no-checkpoint) segmenter.
         half=True runs inference in bfloat16 (reference deploys in half,
-        segment.py:479)."""
+        segment.py:479). strict=False loads foreign checkpoints with
+        skip-with-warning on missing/mismatched tensors (the reference
+        GGUF loader's behavior, ggml_engine.h:400-423)."""
         from vstnet_tpu.models.remapping import load_label_mapping
 
         if checkpoint:
             from vstnet_tpu.io.checkpoint import load_torch_state_dict
 
-            params = segformer_from_torch(load_torch_state_dict(checkpoint))
+            sd = load_torch_state_dict(checkpoint)
+            if not strict:
+                from vstnet_tpu.io.checkpoint import tolerant_state_dict
+
+                got = infer_depths(sd)
+                expected = segformer_to_torch(init_segformer(
+                    jax.random.PRNGKey(seed),
+                    depths=got if all(got) else depths))
+                sd = tolerant_state_dict(sd, expected, label=checkpoint)
+            params = segformer_from_torch(sd)
         else:
             params = init_segformer(jax.random.PRNGKey(seed), depths=depths)
         return cls(params=params, min_ratio=min_ratio,

@@ -146,7 +146,24 @@ def vgg_from_torch(sd: Dict[str, np.ndarray]) -> List[Dict]:
     return params
 
 
-def load_vgg(path: str) -> List[Dict]:
+def vgg_to_torch(params: List[Dict]) -> Dict[str, np.ndarray]:
+    """Inverse of vgg_from_torch (bare-Sequential key layout)."""
+    out = {}
+    for idx, p in zip(_CONV_IDX, params):
+        out[f"{idx}.weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+        out[f"{idx}.bias"] = np.asarray(p["b"])
+    return out
+
+
+def load_vgg(path: str, strict: bool = True, seed: int = 0) -> List[Dict]:
     from vstnet_tpu.io.checkpoint import load_torch_state_dict
 
-    return vgg_from_torch(load_torch_state_dict(path))
+    sd = load_torch_state_dict(path)
+    if not strict:
+        import jax
+
+        from vstnet_tpu.io.checkpoint import tolerant_state_dict
+
+        expected = vgg_to_torch(init_vgg(jax.random.PRNGKey(seed)))
+        sd = tolerant_state_dict(sd, expected, label=path)
+    return vgg_from_torch(sd)
