@@ -22,6 +22,9 @@ from vstnet_tpu.models.revresnet import init_revresnet
 
 
 def main():
+    if len(sys.argv) < 3:
+        print(__doc__.strip())
+        sys.exit(2)
     rf.FUSE_MAX_CHANNELS = int(sys.argv[1])
     rf.TR_FUSE_MAX_BATCH = int(sys.argv[2])
     batches = [int(a) for a in sys.argv[3:]] or [256]

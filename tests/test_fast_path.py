@@ -124,8 +124,10 @@ def test_fused_coupling_flat_parity(rng, c, mid, h, w):
     got_inv = np.asarray(cf.flat_to_nhwc(
         cf.fused_coupling_flat(x1f, x2f, packed, h, w, th=th, inverse=True,
                                interpret=True), h, w))
-    # split-ky (c >= 128) sums conv3's K=9*mid reduction as two partial
-    # dots; f32 reassociation over the larger K grows roundoff with c.
+    # At c >= 128 conv3 runs split-ky (three per-row-tap dots; add order
+    # matches the unsplit kernel bit-for-bit, coupling_flat.py). The wider
+    # tolerance is NOT from splitting — it covers f32 roundoff vs the XLA
+    # reference over the much deeper K = 9*mid reduction at c=128/mid=32.
     atol = 2e-5 if c < 128 else 3e-4
     np.testing.assert_allclose(got_fwd, ref_fwd, atol=atol)
     np.testing.assert_allclose(got_inv, ref_inv, atol=atol)

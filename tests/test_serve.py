@@ -58,6 +58,9 @@ def test_healthz_and_registration(server, rng):
     with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
         info = json.loads(r.read())
     assert info["status"] == "ok" and info["mode"] == "photorealistic"
+    # on the 8-device virtual mesh the worker runs the SHARDED programs
+    assert info["devices"] == len(jax.devices())
+    assert info["sharded"] == (len(jax.devices()) > 1)
 
     with _put(base + "/styles/wave", _png_bytes(rng, 48, 40)) as r:
         assert json.loads(r.read())["registered"] == "wave"
@@ -154,3 +157,37 @@ def test_service_direct_batch_matches_single(rng):
     for t in threads:
         t.join(timeout=300)
     assert outs[0] == solo  # identical PNG bytes
+
+
+def test_concurrent_style_registration_is_safe(rng):
+    """Registrations race the batch worker's reads: with the registry
+    lock, every request stylizes against a complete (ls, mu) pair."""
+    model = StyleModel(
+        cfg=SMALL, params=init_revresnet(jax.random.PRNGKey(2), SMALL))
+    service = StyleService(model, fast=False, grid=32, max_size=256,
+                           max_batch=4, batch_window_ms=5.0)
+    service.register_style("base", _png_bytes(rng, 32, 32))
+    content = _png_bytes(rng, 32, 32)
+    errs = []
+
+    def register(i):
+        try:
+            service.register_style(f"s{i}", _png_bytes(rng, 32, 32))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def request():
+        try:
+            service.stylize(content, "base")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = ([threading.Thread(target=register, args=(i,))
+                for i in range(4)]
+               + [threading.Thread(target=request) for _ in range(4)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs
+    assert set(service.style_names()) == {"base", "s0", "s1", "s2", "s3"}

@@ -333,3 +333,17 @@ def test_loader_smaller_dataset_than_batch(tmp_path, rng):
     batch = next(loader)
     loader.close()
     assert batch.shape == (5, 16, 16, 3)
+
+
+def test_use_lap_flag_parses_false():
+    """`--use_lap False` must parse False (the reference's type=bool bug,
+    train.py:27, made every spelling truthy)."""
+    from vstnet_tpu.cli.train import build_parser
+
+    p = build_parser()
+    assert p.parse_args([]).use_lap is True
+    assert p.parse_args(["--use_lap", "False"]).use_lap is False
+    assert p.parse_args(["--use_lap", "false"]).use_lap is False
+    assert p.parse_args(["--use_lap", "0"]).use_lap is False
+    assert p.parse_args(["--use_lap", "true"]).use_lap is True
+    assert p.parse_args(["--use_lap"]).use_lap is True

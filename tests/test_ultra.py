@@ -161,3 +161,17 @@ def test_tiled_fast_path_routing(rng, monkeypatch):
                                          overlap=16, fast_params=fast))
     psnr = _psnr(got, ref)
     assert psnr > 55.0, f"fast-tiled vs tiled PSNR {psnr:.1f} dB"
+
+
+def test_tiled_masked_label_overflow_raises(rng):
+    """A mask with more distinct labels than max_labels must fail loudly
+    (silent content-passthrough for the dropped labels is the bug)."""
+    cfg = TINY
+    params = init_revresnet(jax.random.PRNGKey(2), cfg)
+    c = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    cm = jnp.asarray(np.arange(64 * 64).reshape(1, 64, 64) % 7, jnp.int32)
+    sm = jnp.zeros((1, 64, 64), jnp.int32)
+    with pytest.raises(ValueError, match="distinct labels"):
+        ultra.stylize_tiled_masked(params, c, s, cm, sm, cfg,
+                                   tile=64, overlap=0, max_labels=4)

@@ -6,6 +6,15 @@ import argparse
 import datetime
 
 
+def _str2bool(v: str) -> bool:
+    s = str(v).strip().lower()
+    if s in ("1", "true", "t", "yes", "y", "on"):
+        return True
+    if s in ("0", "false", "f", "no", "n", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="vstnet_tpu trainer")
     p.add_argument("--base_name", default=None)
@@ -17,7 +26,11 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--new_size", type=int, default=512)
     p.add_argument("--crop_size", type=int, default=256)
-    p.add_argument("--use_lap", type=bool, default=True)
+    # the reference declares `type=bool` (train.py:27), the classic
+    # argparse footgun where `--use_lap False` parses True; accept the
+    # same spellings but parse them correctly
+    p.add_argument("--use_lap", type=_str2bool, nargs="?", const=True,
+                   default=True, metavar="{true,false}")
     p.add_argument("--win_rad", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_decay", type=float, default=5e-5)

@@ -80,10 +80,18 @@ def pick_tile(h: int, c: int, w: int, dtype_bytes: int = 2,
     """
     s = row_stride(w)
     mp = max(_rup8(c // 4), 8)
-    # peak ~ shift stack (3*Cin) in act dtype + dot output (3*Mp) f32,
-    # whichever conv is widest (validated against what Mosaic accepts on
-    # v5e: stage1 th=64 compiles and is fastest)
-    per_row = s * 3 * (c * dtype_bytes + max(mp, c) * 4)
+    if c >= 128:
+        # conv3 runs split-ky here (ops/coupling_flat.py:_conv_flat):
+        # the f32 dot peak is one per-tap (C, L) block + the (C, L-2S)
+        # accumulator, not the unsplit (3*C, L) — budgeting the smaller
+        # footprint is what lets wide-channel routes take bigger row
+        # tiles (the documented point of split-ky)
+        per_row = s * (3 * c * dtype_bytes + 2 * c * 4)
+    else:
+        # peak ~ shift stack (3*Cin) in act dtype + dot output (3*Mp)
+        # f32, whichever conv is widest (validated against what Mosaic
+        # accepts on v5e: stage1 th=64 compiles and is fastest)
+        per_row = s * 3 * (c * dtype_bytes + max(mp, c) * 4)
     if nopad:
         # shift_fix's temporaries die before the dot peak; one extra
         # stream block of allowance is what Mosaic's scoped accounting

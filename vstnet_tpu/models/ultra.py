@@ -347,6 +347,19 @@ def stylize_tiled_masked(params, content, style, cmask, smask,
     weights, fast = _pick_weights(params, fast_params)
     sc = g.sc
 
+    # the fixed-size unique below silently drops labels beyond max_labels
+    # (content passthrough for those regions) — that must be the caller's
+    # explicit choice, never a surprise on a many-label 4K mask; the CLI
+    # sizes max_labels via cwct.label_capacity
+    import numpy as _np
+
+    n_distinct = int(_np.unique(_np.asarray(cmask)).size)
+    if n_distinct > max_labels:
+        raise ValueError(
+            f"content mask has {n_distinct} distinct labels > "
+            f"max_labels={max_labels}; raise max_labels (e.g. "
+            "cwct.label_capacity(mask)) or pre-merge the mask")
+
     labels = jnp.unique(
         jnp.asarray(cmask).reshape(-1), size=max_labels,
         fill_value=jnp.int32(-1)).astype(jnp.int32)

@@ -92,6 +92,8 @@ class StyleService:
     def __init__(self, model: StyleModel, fast: bool = False,
                  grid: int = 64, max_size: int = 1280,
                  max_batch: int = 8, batch_window_ms: float = 5.0):
+        import jax
+
         self.model = model
         self.fast = fast
         self.grid = grid
@@ -99,6 +101,26 @@ class StyleService:
         self.max_batch = max_batch
         self.window_s = batch_window_ms / 1000.0
         self.styles: Dict[str, Tuple] = {}   # name -> (ls, mu_s)
+        # registrations come from handler threads, reads from the worker
+        self._styles_lock = threading.Lock()
+        # multi-chip: the batch worker runs the same sharded programs the
+        # video CLI uses (frames over 'data', weights/factors replicated)
+        self.n_devices = jax.local_device_count()
+        self._mesh = None
+        if self.n_devices > 1:
+            from vstnet_tpu.parallel import (
+                make_mesh,
+                parallel_stylize_factored,
+                parallel_stylize_fused,
+            )
+
+            self._mesh = make_mesh(self.n_devices, axes=("data",))
+            if fast:
+                self._fast_fn = parallel_stylize_fused(
+                    self._mesh, model.cfg, out_u8=True)
+            else:
+                self._std_fn = parallel_stylize_factored(
+                    self._mesh, model.cfg)
         self._q: "queue.Queue[_Job]" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -122,13 +144,23 @@ class StyleService:
             ls, mu = cwct.style_factors(z)
         # factors are (c, c)/(c, 1)-shaped device constants — tiny,
         # resolution-independent, reused by every request
-        self.styles[name] = (ls, mu)
+        with self._styles_lock:
+            self.styles[name] = (ls, mu)
+
+    def style_names(self):
+        with self._styles_lock:
+            return sorted(self.styles)
+
+    def _style_factors(self, name: str):
+        with self._styles_lock:
+            return self.styles[name]
 
     # -- request path -------------------------------------------------------
     def stylize(self, data: bytes, style: str,
                 max_size: Optional[int] = None) -> bytes:
-        if style not in self.styles:
-            raise KeyError(style)
+        with self._styles_lock:
+            if style not in self.styles:
+                raise KeyError(style)
         img = _decode_image(data, max_size or self.max_size,
                             self.model.cfg.down_scale)
         h, w = img.shape[1], img.shape[2]
@@ -143,11 +175,14 @@ class StyleService:
         return job.result
 
     # -- device worker -------------------------------------------------------
-    def _drain_batch(self):
-        """One coalesced batch: blocking first item, then same-key items
-        for up to the batch window. A different key flushes (it is put
-        back at the front via a local stash)."""
-        first = self._q.get()
+    def _drain_batch(self, first: Optional[_Job] = None):
+        """One coalesced batch: blocking first item (or a stashed one from
+        the previous drain), then same-key items for up to the batch
+        window. A different key flushes (it becomes the next stash). The
+        stash gets the SAME windowed wait as a fresh item — it already
+        queued once, but its batch-mates may still be arriving."""
+        if first is None:
+            first = self._q.get()
         batch = [first]
         stash = None
         import time
@@ -169,8 +204,16 @@ class StyleService:
         return batch, stash
 
     def _stylize_batch(self, frames, style_name: str):
-        ls, mu = self.styles[style_name]
+        ls, mu = self._style_factors(style_name)
         cfg = self.model.cfg
+        if self._mesh is not None:
+            # sharded over every chip (frames on 'data'); the style
+            # factors were computed per-registration, style batch dim 1
+            if self.fast:
+                return self._fast_fn(self.model.fast_params, frames, ls, mu)
+            out = self._std_fn(self.model.params, frames, ls, mu)
+            return jnp.round(out.astype(jnp.float32) * 255.0
+                             ).astype(jnp.uint8)
         if self.fast:
             from vstnet_tpu.models import revresnet_fast as rf
 
@@ -193,35 +236,29 @@ class StyleService:
     def _run(self):
         stash = None
         while True:
-            if stash is not None:
-                batch, nxt = [stash], None
-                stash = None
-                # try to extend the stashed batch with same-key items
-                try:
-                    while len(batch) < self.max_batch:
-                        j = self._q.get_nowait()
-                        if j.key == batch[0].key:
-                            batch.append(j)
-                        else:
-                            nxt = j
-                            break
-                except queue.Empty:
-                    pass
-                stash = nxt
-            else:
-                batch, stash = self._drain_batch()
+            batch, stash = self._drain_batch(stash)
             try:
                 n = len(batch)
-                # pad the batch to the next power of two: one executable
-                # per (bucket, pow2-batch) instead of one per batch size
+                # pad the batch to the next power of two (one executable
+                # per (bucket, pow2-batch) instead of one per batch size),
+                # then up to a device-count multiple so 'data' sharding
+                # always divides
                 n_pad = 1
                 while n_pad < n:
+                    n_pad *= 2
+                while n_pad % self.n_devices:
                     n_pad *= 2
                 frames = np.concatenate(
                     [j.content for j in batch]
                     + [batch[0].content] * (n_pad - n), axis=0)
+                if self._mesh is not None:
+                    from vstnet_tpu.parallel import shard_batch
+
+                    frames_dev = shard_batch(self._mesh, frames)
+                else:
+                    frames_dev = jnp.asarray(frames)
                 out = np.asarray(
-                    self._stylize_batch(jnp.asarray(frames), batch[0].key[2]))
+                    self._stylize_batch(frames_dev, batch[0].key[2]))
                 for i, j in enumerate(batch):
                     h, w = j.hw
                     j.result = _encode_png(out[i, :h, :w])
@@ -257,8 +294,10 @@ def make_handler(service: StyleService):
                     "status": "ok",
                     "mode": service.model.mode,
                     "fast": service.fast,
-                    "styles": sorted(service.styles),
+                    "styles": service.style_names(),
                     "device": str(jax.devices()[0].platform),
+                    "devices": service.n_devices,
+                    "sharded": service._mesh is not None,
                     "max_batch": service.max_batch,
                 }
                 self._reply(200, json.dumps(info).encode())
@@ -290,10 +329,10 @@ def make_handler(service: StyleService):
                 return
             q = parse_qs(parsed.query)
             style = q.get("style", [None])[0]
-            if style is None or style not in service.styles:
+            if style is None or style not in service.style_names():
                 self._reply(404, json.dumps(
                     {"error": f"unknown style {style!r}",
-                     "styles": sorted(service.styles)}).encode())
+                     "styles": service.style_names()}).encode())
                 return
             max_size = q.get("max_size", [None])[0]
             try:
