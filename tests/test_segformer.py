@@ -310,3 +310,72 @@ def test_remap_video_batch_vs_single_style():
     # every remapped content label must exist in the style mask
     for i in range(4):
         assert set(np.unique(out_cm[i])) <= set(np.unique(out_sm[i]))
+
+
+# ---------------------------------------------------------------------------
+# Segmenter-resolution quality gate (pick_seg_size)
+# ---------------------------------------------------------------------------
+
+def test_mask_quality_metrics():
+    from vstnet_tpu.models.segformer import mask_quality
+
+    a = np.zeros((1, 8, 8), np.int32)
+    a[:, :, 4:] = 1
+    q = mask_quality(a, a)
+    assert q["pixel_acc"] == 1.0 and q["mean_iou"] == 1.0
+
+    b = a.copy()
+    b[:, 0, :] = 2  # 8 of 64 pixels flip to a new label
+    q = mask_quality(a, b)
+    assert q["pixel_acc"] == pytest.approx(56 / 64)
+    # label 0: inter 28 / union 32; label 1: 28/32; label 2: 0/8
+    assert q["mean_iou"] == pytest.approx((28 / 32 + 28 / 32 + 0) / 3)
+
+
+def test_seg_hw_for_rule():
+    from vstnet_tpu.models.segformer import seg_hw_for
+
+    assert seg_hw_for(512, 512, 256) == (256, 256)
+    assert seg_hw_for(512, 256, 256) == (256, 128)
+    assert seg_hw_for(200, 100, 256) is None   # no shrink
+    assert seg_hw_for(512, 512, 0) is None     # native requested
+    h, w = seg_hw_for(500, 300, 256)
+    assert h % 4 == 0 and w % 4 == 0
+
+
+def test_pick_seg_size_scale_invariant_masks(rng):
+    """A segmenter whose masks are resolution-independent (coarse blocky
+    labels) must gate to the SMALLEST candidate (largest downscale)."""
+    from vstnet_tpu.models.segformer import pick_seg_size
+
+    frames = jnp.asarray(rng.uniform(size=(2, 512, 512, 3)), jnp.float32)
+
+    def coarse_fn(x, hw):
+        h = x.shape[1] if hw is None else hw[0]
+        w = x.shape[2] if hw is None else hw[1]
+        yy = np.add.outer(np.arange(h) * 2 // h, np.arange(w) * 2 // w)
+        return jnp.asarray(np.broadcast_to(yy[None], (x.shape[0], h, w)),
+                           jnp.int32)
+
+    got = pick_seg_size(None, frames, candidates=(256, 384),
+                        segment_fn=coarse_fn)
+    assert got == 256
+
+
+def test_pick_seg_size_falls_back_to_native(rng):
+    """A segmenter whose downscaled masks disagree with native ones must
+    return 0 (exact mode) — never a silently-wrong downscale."""
+    from vstnet_tpu.models.segformer import pick_seg_size
+
+    frames = jnp.asarray(rng.uniform(size=(1, 512, 512, 3)), jnp.float32)
+    rng2 = np.random.default_rng(3)
+
+    def noisy_fn(x, hw):
+        h = x.shape[1] if hw is None else hw[0]
+        w = x.shape[2] if hw is None else hw[1]
+        return jnp.asarray(
+            rng2.integers(0, 150, size=(x.shape[0], h, w)), jnp.int32)
+
+    got = pick_seg_size(None, frames, candidates=(256,),
+                        segment_fn=noisy_fn)
+    assert got == 0

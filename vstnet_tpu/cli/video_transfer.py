@@ -64,13 +64,16 @@ def build_parser():
     p.add_argument("--palette", type=str, default=None)
     p.add_argument("--min_ratio", type=float, default=0.02)
     p.add_argument("--seg_ckpoint", type=str, default=None)
-    p.add_argument("--seg_size", type=int, default=0,
+    p.add_argument("--seg_size", type=int, default=-1,
                    help="max side for the per-frame SEGMENTER input on the "
-                        "fast masked path (0 = native frame size). The "
-                        "reference caps its segmenter input the same way "
-                        "(segment.py:477-479); region statistics are "
+                        "fast masked path (0 = native frame size; -1 = "
+                        "AUTO, default: pick the largest downscale whose "
+                        "masks agree with native-resolution masks on the "
+                        "first frame — models/segformer.py:pick_seg_size). "
+                        "The reference caps its segmenter input the same "
+                        "way (segment.py:477-479); region statistics are "
                         "insensitive to mask boundary precision, and the "
-                        "segmenter is ~25%% of the masked frame time at "
+                        "segmenter is ~half of the masked frame time at "
                         "512² (PERF.md)")
     return p
 
@@ -211,11 +214,21 @@ def main(argv=None):
             from vstnet_tpu.models.pipeline import _mask_to_latent
             from vstnet_tpu.models.remapping import video_remap_plan
 
-            seg_hw = None
-            if args.seg_size and max(h, w) > args.seg_size:
-                ss = args.seg_size / max(h, w)
-                seg_hw = (max(int(h * ss) // 4 * 4, 4),
-                          max(int(w * ss) // 4 * 4, 4))
+            from vstnet_tpu.models.segformer import (
+                pick_seg_size,
+                seg_hw_for,
+            )
+
+            seg_size = args.seg_size
+            if seg_size == -1:
+                # quality gate on the first frame: largest downscale whose
+                # masks agree with native-resolution segmentation
+                probe = resize_bilinear(
+                    jnp.asarray(first, jnp.float32)[None] / 255.0, h, w)
+                seg_size = pick_seg_size(seg.params, probe, half=True)
+                print(f"auto seg_size: {seg_size or 'native'} "
+                      "(mask-agreement gate, models/segformer.py)")
+            seg_hw = seg_hw_for(h, w, seg_size)
 
             # style side factored ONCE per video: per-label latent
             # statistics + the frame-independent halves of the remap

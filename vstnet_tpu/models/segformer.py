@@ -247,6 +247,76 @@ def segment_mask(params, image, half: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Segmenter-resolution quality gate. Running the segmenter on a downscale
+# is the reference's own capacity strategy (segment.py:477-479) and the
+# masked fast path's biggest lever (PERF.md: 43 -> 70 fps/chip at
+# --seg_size 256); this makes the choice principled instead of a blind
+# flag: measure how well downscaled masks agree with native-resolution
+# masks on sample frames and take the largest downscale that passes.
+# ---------------------------------------------------------------------------
+
+def seg_hw_for(h: int, w: int, seg_size: int):
+    """(h, w) capped so max side == seg_size, floored to /4 (the CLI's
+    downscale rule). None if seg_size doesn't shrink the frame."""
+    if seg_size <= 0 or max(h, w) <= seg_size:
+        return None
+    ss = seg_size / max(h, w)
+    return (max(int(h * ss) // 4 * 4, 4), max(int(w * ss) // 4 * 4, 4))
+
+
+def mask_quality(masks_ref, masks_test) -> dict:
+    """Agreement metrics between two (B, H, W) int mask stacks:
+    pixel_acc (fraction of equal pixels) and mean_iou (mean IoU over
+    labels present in either stack)."""
+    import numpy as np
+
+    a = np.asarray(masks_ref)
+    b = np.asarray(masks_test)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    pixel_acc = float((a == b).mean())
+    ious = []
+    for lbl in np.union1d(np.unique(a), np.unique(b)):
+        inter = np.logical_and(a == lbl, b == lbl).sum()
+        union = np.logical_or(a == lbl, b == lbl).sum()
+        if union > 0:
+            ious.append(inter / union)
+    return {"pixel_acc": pixel_acc,
+            "mean_iou": float(np.mean(ious)) if ious else 1.0}
+
+
+def pick_seg_size(params, frames, candidates=(256, 384, 512),
+                  min_pixel_acc: float = 0.95, min_iou: float = 0.80,
+                  half: bool = True, segment_fn=None) -> int:
+    """Smallest candidate seg_size (largest downscale -> fastest masked
+    program) whose nearest-upsampled masks still agree with the
+    native-resolution masks on `frames` ((B,H,W,3) float [0,1] sample
+    frames, e.g. the first video batch). Returns 0 (= native) when no
+    candidate passes — quality degrades gracefully to the exact mode.
+
+    Region statistics are insensitive to boundary-pixel precision
+    (PERF.md masked section), so the gate measures label AGREEMENT, not
+    boundary sharpness."""
+    import numpy as np
+
+    fn = segment_fn or (lambda x, hw: segment_mask(
+        params, jax.image.resize(x, (x.shape[0], *hw, 3), "bilinear")
+        if hw else x, half=half))
+    h, w = frames.shape[1], frames.shape[2]
+    native = np.asarray(fn(frames, None))
+    for cand in sorted(candidates):
+        hw = seg_hw_for(h, w, cand)
+        if hw is None:
+            continue  # candidate doesn't shrink the frame
+        small = fn(frames, hw)
+        up = np.asarray(jax.image.resize(
+            jnp.asarray(small), native.shape, "nearest"))
+        q = mask_quality(native, up)
+        if q["pixel_acc"] >= min_pixel_acc and q["mean_iou"] >= min_iou:
+            return cand
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # Init (random; pretrained weights come from the torch checkpoint)
 # ---------------------------------------------------------------------------
 
