@@ -43,7 +43,8 @@ def patch_interpret_fused(monkeypatch):
     import vstnet_tpu.models.revresnet_fast as rf
     import vstnet_tpu.ops.coupling_flat as cflat
 
-    for name in ("fused_coupling_flat", "fused_transition_flat"):
+    for name in ("fused_coupling_flat", "fused_transition_flat",
+                 "fused_transition_full"):
         orig = getattr(cflat, name)
 
         def patched(*args, __orig=orig, **kw):

@@ -232,6 +232,85 @@ def test_fused_transition_flat_parity(rng, c, mid, h, w, padded):
     np.testing.assert_allclose(got_inv, np.asarray(x1u), atol=2e-5)
 
 
+@pytest.mark.parametrize("c,mid,h,w,th", [
+    (16, 16, 32, 256, 8),   # stage1->2 family; 2 half-res tiles
+    (8, 4, 48, 256, 8),     # 3 tiles: top/interior/bottom programs
+    (16, 16, 64, 256, 16),  # production-ish tile
+])
+def test_fused_transition_full_parity(rng, c, mid, h, w, th):
+    """Full-res-boundary transition (IN-KERNEL pixel (un)shuffle) ==
+    pixel_unshuffle + fused_transition_flat, bit-for-bit in f32, both
+    directions — the q-phase strided loads/stores, p-phase segment
+    (de)interleave, and the full-row window clip must reproduce the
+    validated half-res kernel exactly."""
+    from vstnet_tpu.ops import coupling_flat as cf
+    from vstnet_tpu.ops.coupling import (
+        pixel_shuffle_nchw,
+        pixel_unshuffle_nchw,
+    )
+
+    branch = _rand_tr_branch(rng, c, mid)
+    packed = cf.pack_transition_weights_flat(branch)
+
+    x1 = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, c, h, w)), jnp.float32)
+    hh, wh, cu = h // 2, w // 2, 4 * c
+    x1u = pixel_unshuffle_nchw(x1)
+    x2u = pixel_unshuffle_nchw(x2)
+
+    ref_y = cf.fused_transition_flat(
+        x1u.reshape(2, cu, hh * wh), x2u.reshape(2, cu, hh * wh),
+        packed, hh, wh, th=th, interpret=True, padded=False)
+
+    got_x1f, got_yf = cf.fused_transition_full(
+        x1, x2, packed, hh, wh, th=th, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_x1f), np.asarray(x2u.reshape(2, cu, hh * wh)))
+    np.testing.assert_array_equal(np.asarray(got_yf), np.asarray(ref_y))
+
+    # inverse: (y2=ref_y, y1=x2u) -> (shuffle(x1u), shuffle(x2u)) exactly
+    got_x1, got_x2 = cf.fused_transition_full(
+        ref_y, x2u.reshape(2, cu, hh * wh), packed, hh, wh, th=th,
+        inverse=True, interpret=True)
+    ref_x1u = cf.fused_transition_flat(
+        ref_y, x2u.reshape(2, cu, hh * wh), packed, hh, wh, th=th,
+        inverse=True, interpret=True, padded=False)
+    np.testing.assert_array_equal(
+        np.asarray(got_x1),
+        np.asarray(pixel_shuffle_nchw(ref_x1u.reshape(2, cu, hh, wh))))
+    np.testing.assert_array_equal(np.asarray(got_x2), np.asarray(x2))
+
+
+def test_encode_fast_full_boundary_route(rng, monkeypatch):
+    """End-to-end fast path with TR_FULL_FUSE on: the stage1->2
+    transition takes the full-res-boundary kernel (half width 128), the
+    stage2->3 one falls back to the legacy route (half width 64) — mixed
+    routing must still match the standard path exactly and invert."""
+    monkeypatch.setattr(rf, "TR_FULL_FUSE", True)
+    params = init_revresnet(jax.random.PRNGKey(5), SMALL)
+    fast = rf.pack_revresnet(params, SMALL)
+    x = jnp.asarray(rng.uniform(size=(1, 32, 256, 3)), jnp.float32)
+
+    # route sanity: the first transition qualifies, the second doesn't
+    assert rf._tr_full_th(16, 128, 64) is not None
+    assert rf._tr_full_th(8, 64, 256) is None
+
+    z_ref = encode(params, x, SMALL)
+    z_fast = rf.encode_fast(fast, x, SMALL)
+    np.testing.assert_allclose(np.asarray(z_fast), np.asarray(z_ref),
+                               atol=1e-5)
+    x_rec = rf.decode_fast(fast, z_fast, SMALL)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                               atol=1e-5)
+
+    # large-batch routing: with the full route available the transition
+    # stays FUSED above TR_FUSE_MAX_BATCH (the point of the kernel)
+    runs = rf._segments(fast, SMALL.block_plan(),
+                        rf.TR_FUSE_MAX_BATCH + 1, (32, 256))
+    kinds = [(k, tr is not None) for k, tr, _ in runs]
+    assert ("fused", True) in kinds
+
+
 def test_encode_fast_nopad_stage_parity(rng, monkeypatch):
     """Stage-level no-pad routing (production shapes have th < h, e.g.
     th=64 at 512²): force a sub-height tile so _nopad_ok fires, and check

@@ -29,6 +29,7 @@ fused encode/decode remain exact inverses of each other.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict
 
@@ -39,10 +40,12 @@ from jax import lax
 from vstnet_tpu.config import RevResNetConfig
 from vstnet_tpu.ops.coupling import pixel_shuffle_nchw, pixel_unshuffle_nchw
 from vstnet_tpu.ops.coupling_flat import (
+    HALO,
     col_offset,
     flat_len,
     fused_coupling_flat,
     fused_transition_flat,
+    fused_transition_full,
     pack_branch_weights_flat,
     pack_transition_weights_flat,
     row_stride,
@@ -63,6 +66,14 @@ TR_FUSE_MAX_CHANNELS = 256
 # boundary forces both sides to materialize (~+390 us/frame of %copy).
 # Both forms are packed; encode/decode route per batch.
 TR_FUSE_MAX_BATCH = 64
+# Full-res-boundary transition route: the pixel (un)shuffle runs INSIDE
+# the kernel (coupling_flat.fused_transition_full — strided lane
+# loads/stores + aligned segment concats on VMEM-resident data), so the
+# XLA-side 6D phase transposes that caused the B256 regression never
+# exist and the batch cap above does not apply. Requires the zero-copy
+# regime (half-res width % 128 == 0). Gated by env until validated on
+# hardware: VSTNET_TR_FULL=0 disables, =1 enables.
+TR_FULL_FUSE = os.environ.get("VSTNET_TR_FULL", "0") == "1"
 # VMEM budget for picking the row-tile size (v5e ~16 MB/core).
 VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -253,11 +264,38 @@ def _tr_tile(x1, h, w, th_run, nopad):
     return th_tr
 
 
+def _tr_full_th(h: int, w: int, cu: int, nbytes: int = 2):
+    """Tile height for the full-res-boundary transition, or None when the
+    route doesn't apply (h/w are the HALF-res dims, cu = 4C). Budget: the
+    half-res working set of pick_tile_tr plus ~2 extra stream copies for
+    the in-kernel (de)interleave values."""
+    if not TR_FULL_FUSE or w % 128 != 0:
+        return None
+    s = row_stride(w)
+    per_row = s * cu * (8 * nbytes + 8)
+    cap = max(VMEM_LIMIT_TR // per_row - 6, 1)
+    for th in range(min(h, cap, 128), HALO - 1, -1):
+        if h % th == 0 and h >= th + 2 * HALO:
+            return th
+    return None
+
+
 def _fused_stage_forward(x1, x2, blocks, h, w, tr=None):
     """Run one fused segment keeping streams flat: an optional leading
-    stride-2 transition (streams arrive ALREADY unshuffled at half res —
-    the caller does the pixel_unshuffle) followed by consecutive fused
-    stride-1 blocks at the same resolution."""
+    stride-2 transition followed by consecutive fused stride-1 blocks at
+    the same resolution. With tr, the streams arrive either ALREADY
+    unshuffled at half res (legacy route — the caller pixel_unshuffles)
+    or at FULL res (x1.shape[2] == 2h: the full-boundary route, where
+    fused_transition_full does the unshuffle in-kernel)."""
+    if tr is not None and x1.shape[2] == 2 * h:
+        nbytes = 2 if x1.dtype == jnp.bfloat16 else 4
+        th_f = _tr_full_th(h, w, 4 * x1.shape[1], nbytes)
+        x1f, x2f = fused_transition_full(x1, x2, tr["packed_tr"], h, w,
+                                         th=th_f)
+        b, c4 = x1f.shape[0], x1f.shape[1]
+        x1 = x1f.reshape(b, c4, h, w)  # free: nopad flat == NCHW bytes
+        x2 = x2f.reshape(b, c4, h, w)
+        tr = None
     b, c = x1.shape[0], x1.shape[1]
     th, nopad = _pick_route(x1, h, w)
     if nopad:
@@ -277,10 +315,15 @@ def _fused_stage_forward(x1, x2, blocks, h, w, tr=None):
 
 
 def _fused_stage_inverse(x1, x2, blocks, h, w, tr=None):
-    """Inverse of _fused_stage_forward; streams leave still unshuffled
-    when tr is given (the caller pixel_shuffles)."""
+    """Inverse of _fused_stage_forward. With tr, streams leave either
+    still unshuffled at half res (legacy route — the caller
+    pixel_shuffles) or at FULL res NCHW (the full-boundary route does the
+    shuffle in-kernel; callers detect via shape[2] == 2h)."""
     b, c = x1.shape[0], x1.shape[1]
     th, nopad = _pick_route(x1, h, w)
+    nbytes = 2 if x1.dtype == jnp.bfloat16 else 4
+    th_full = (_tr_full_th(h, w, c, nbytes)
+               if tr is not None and nopad else None)
     if nopad:
         x1f, x2f = x1.reshape(b, c, h * w), x2.reshape(b, c, h * w)
     else:
@@ -291,6 +334,10 @@ def _fused_stage_inverse(x1, x2, blocks, h, w, tr=None):
                                        th=th, inverse=True,
                                        padded=not nopad), x1f
     if tr is not None:
+        if th_full is not None:
+            # (y1, y2) = (x1f, x2f): emits full-res shuffled NCHW pairs
+            return fused_transition_full(x2f, x1f, tr["packed_tr"], h, w,
+                                         th=th_full, inverse=True)
         x1f, x2f = fused_transition_flat(
             x2f, x1f, tr["packed_tr"], h, w,
             th=_tr_tile(x1, h, w, th, nopad), inverse=True,
@@ -319,17 +366,25 @@ def _block_inverse_nchw(y1, y2, bp, stride):
     return x1, x2
 
 
-def _segments(fast_params, plan, batch: int):
+def _segments(fast_params, plan, batch: int, hw=None):
     """Group the block plan into runs: ("nchw", None, [(bp, stride)...])
     or ("fused", tr_bp_or_None, [stride-1 bps...]). A fused stride-2
     transition STARTS a fused run — it changes resolution, and the
     following fused blocks share its flat segment (no layout exit
     between the transition and the stage it opens). Transitions route to
-    the fused kernel only at batch <= TR_FUSE_MAX_BATCH (see the constant
-    above for the measured crossover)."""
+    the fused kernel at batch <= TR_FUSE_MAX_BATCH (the measured
+    crossover — see the constant above), OR at any batch when the
+    full-res-boundary route applies (hw = the FULL input resolution of
+    the stack; the in-kernel unshuffle removes the XLA transposes that
+    caused the large-batch regression)."""
     runs = []
+    h, w = hw if hw is not None else (0, 0)
     for bp, (ch, stride) in zip(fast_params["stack"], plan):
-        if "packed_tr" in bp and batch <= TR_FUSE_MAX_BATCH:
+        if stride == 2 and h:
+            h, w = h // 2, w // 2  # resolution AFTER this transition
+        tr_fuse = batch <= TR_FUSE_MAX_BATCH or (
+            stride == 2 and h > 0 and _tr_full_th(h, w, ch) is not None)
+        if "packed_tr" in bp and tr_fuse:
             runs.append(["fused", bp, []])
         elif "packed" in bp:
             if runs and runs[-1][0] == "fused":
@@ -361,13 +416,22 @@ def encode_fast(fast_params: Dict, x, cfg: RevResNetConfig,
     n = x.shape[1] // 2
     x1, x2 = x[:, :n], x[:, n:]
 
-    for kind, tr, blocks in _segments(fast_params, plan, x.shape[0]):
+    hw0 = (x.shape[2], x.shape[3])
+    for kind, tr, blocks in _segments(fast_params, plan, x.shape[0], hw0):
         if kind == "fused":
             if tr is not None:
-                x1 = pixel_unshuffle_nchw(x1)
-                x2 = pixel_unshuffle_nchw(x2)
-            h, w = x1.shape[2], x1.shape[3]
-            x1, x2 = _fused_stage_forward(x1, x2, blocks, h, w, tr=tr)
+                hh, hw = x1.shape[2] // 2, x1.shape[3] // 2
+                if _tr_full_th(hh, hw, 4 * x1.shape[1]) is None:
+                    # legacy route: unshuffle in XLA, half-res kernel
+                    x1 = pixel_unshuffle_nchw(x1)
+                    x2 = pixel_unshuffle_nchw(x2)
+                # else: full-res entry — the stage's fused_transition_full
+                # unshuffles in-kernel
+                x1, x2 = _fused_stage_forward(x1, x2, blocks, hh, hw,
+                                              tr=tr)
+            else:
+                h, w = x1.shape[2], x1.shape[3]
+                x1, x2 = _fused_stage_forward(x1, x2, blocks, h, w)
         else:
             for bp, stride in blocks:
                 x1, x2 = _block_forward_nchw(x1, x2, bp, stride)
@@ -412,12 +476,15 @@ def decode_fast(fast_params: Dict, z, cfg: RevResNetConfig,
 
     n = x.shape[1] // 2
     x1, x2 = x[:, :n], x[:, n:]
+    # full input resolution for the route decision (stage3 runs at 1/4)
+    hw0 = (x1.shape[2] * 4, x1.shape[3] * 4)
     for kind, tr, blocks in reversed(_segments(fast_params, plan,
-                                                x.shape[0])):
+                                                x.shape[0], hw0)):
         if kind == "fused":
             h, w = x1.shape[2], x1.shape[3]
             x1, x2 = _fused_stage_inverse(x1, x2, blocks, h, w, tr=tr)
-            if tr is not None:
+            if tr is not None and x1.shape[2] != 2 * h:
+                # legacy route left half-res unshuffled streams
                 x1 = pixel_shuffle_nchw(x1)
                 x2 = pixel_shuffle_nchw(x2)
         else:

@@ -391,37 +391,22 @@ def _conv_flat2(x, w_packed, b, mp: int, s: int, pos, co: int, out_dtype):
     return out.astype(out_dtype)
 
 
-def _transition_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                            w3_ref, b3_ref, out_ref, *, th, s, w_img, co, c,
-                            n_tiles, inverse, padded=True):
-    """One grid program of the fused transition: output rows
-    [i*TH, i*TH + TH) of F(x2u) +- x1u at HALF resolution (the streams are
-    already unshuffled; w_img/s/co all refer to the half-res grid).
+def _transition_core(x, x1, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                     *, s, w_img, co, c, is_top, is_bottom, inverse, dt):
+    """Shared conv chain of the fused transition: x (CU, t*s) halo'd
+    unshuffled conv stream (already boundary-realigned), x1 (CU, th*s)
+    add stream. Returns F(x)+-x1 as (CU, th*s) f32.
 
     Frame bookkeeping matches _coupling_kernel_flat: input local rows
     [0, t); conv1' (2-row window) emits rows with u-row g = k - 2; conv2
     g = k - 1; conv3 g = k — exactly the output tile."""
-    i = pl.program_id(1)
-    is_top = i == 0
-    is_bottom = i == n_tiles - 1
-    t = th + 2 * HALO
-    dt = x2_ref.dtype
+    t = x.shape[1] // s
     m1 = b1_ref.shape[0]
     m2 = b2_ref.shape[0]
 
     def pos(n_lanes):
         return lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1) % s
 
-    x = x2_ref[0]
-    if not padded:
-        k = HALO * s
-
-        def shift_fix(xx):
-            down = jnp.concatenate([xx[:, -k:], xx[:, :-k]], 1)
-            up = jnp.concatenate([xx[:, k:], xx[:, :k]], 1)
-            return jnp.where(is_top, down, up)
-
-        x = lax.cond(is_top | is_bottom, shift_fix, lambda xx: xx, x)
     # Top-edge row reflection for the 2x2 conv: full row -1 = full row 1 =
     # the p=1 phase of u-row 0, so the u-row -1 slot (local row 2) takes a
     # copy of u-row 0 (local 3) — the p=0 channels of the a=0 tap carry
@@ -444,8 +429,35 @@ def _transition_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     fx = _conv_flat(h2, w3_ref[...], b3_ref[...], c, s, pos((t - 4) * s),
                     w_img, co, relu=False, out_dtype=jnp.float32,
                     split_ky=c >= 128)                             # g = k
-    x1 = x1_ref[0].astype(jnp.float32)
-    y = (x1 - fx) if inverse else (fx + x1)
+    x1 = x1.astype(jnp.float32)
+    return (x1 - fx) if inverse else (fx + x1)
+
+
+def _transition_kernel_flat(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                            w3_ref, b3_ref, out_ref, *, th, s, w_img, co, c,
+                            n_tiles, inverse, padded=True):
+    """One grid program of the fused transition: output rows
+    [i*TH, i*TH + TH) of F(x2u) +- x1u at HALF resolution (the streams are
+    already unshuffled; w_img/s/co all refer to the half-res grid)."""
+    i = pl.program_id(1)
+    is_top = i == 0
+    is_bottom = i == n_tiles - 1
+    dt = x2_ref.dtype
+
+    x = x2_ref[0]
+    if not padded:
+        k = HALO * s
+
+        def shift_fix(xx):
+            down = jnp.concatenate([xx[:, -k:], xx[:, :-k]], 1)
+            up = jnp.concatenate([xx[:, k:], xx[:, :k]], 1)
+            return jnp.where(is_top, down, up)
+
+        x = lax.cond(is_top | is_bottom, shift_fix, lambda xx: xx, x)
+    y = _transition_core(x, x1_ref[0], w1_ref, b1_ref, w2_ref, b2_ref,
+                         w3_ref, b3_ref, s=s, w_img=w_img, co=co, c=c,
+                         is_top=is_top, is_bottom=is_bottom,
+                         inverse=inverse, dt=dt)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -565,3 +577,223 @@ def fused_coupling_flat(x1f, x2f, packed, h: int, w: int, th: int = 64,
         interpret=interpret,
     )(x2f, x1f, packed["w1"], packed["b1"], packed["w2"], packed["b2"],
       packed["w3"], packed["b3"])
+
+
+# ---------------------------------------------------------------------------
+# Full-res-boundary fused transition: the pixel (un)shuffle lives INSIDE
+# the kernel. The XLA-side 6D phase transposes around fused_transition_flat
+# are real HBM copies that cannot fuse through the custom-call boundary
+# (the documented cause of the B256 fused-transition regression, PERF.md);
+# here the kernel reads the FULL-RES flat stream (a zero-copy reshape of
+# NCHW for 128-multiple widths), deinterleaves the q phase with strided
+# ref loads (tpu.strided_load: per-element stride 2 on the lane axis) and
+# the p phase with aligned S-lane segment concats — all on VMEM-resident
+# data the conv had to read anyway — and emits the half-res unshuffled
+# layout the following stage consumes. The inverse emits full-res via
+# strided stores. Semantics == pixel_unshuffle_nchw ∘ fused_transition_flat
+# (tests assert exact equality in f32).
+# ---------------------------------------------------------------------------
+
+def _deinterleave_rows(sel, n_rows: int, s2: int, p: int):
+    """(C, 2*n_rows*s2) -> (C, n_rows*s2): keep row segments 2j+p."""
+    return jnp.concatenate(
+        [sel[:, (2 * j + p) * s2:(2 * j + p + 1) * s2]
+         for j in range(n_rows)], axis=1)
+
+
+def _unshuffle_from_ref(ref, n_rows: int, s2: int):
+    """ref (1, C, n_rows*2 * s2*2) full-res flat window -> (4C, n_rows*s2)
+    unshuffled, channel order [p][q][ci] (pixel_unshuffle_nchw's)."""
+    xe = ref[0, :, 0::2]   # strided lane load: q = 0 columns
+    xo = ref[0, :, 1::2]   # q = 1
+    return jnp.concatenate([
+        _deinterleave_rows(xe, n_rows, s2, 0),
+        _deinterleave_rows(xo, n_rows, s2, 0),
+        _deinterleave_rows(xe, n_rows, s2, 1),
+        _deinterleave_rows(xo, n_rows, s2, 1)], axis=0)
+
+
+def _interleave_rows(b_p0, b_p1, n_rows: int, s2: int):
+    """(C, n*s2) x2 -> (C, 2n*s2): full row 2j from b_p0, 2j+1 from b_p1."""
+    parts = []
+    for j in range(n_rows):
+        parts.append(b_p0[:, j * s2:(j + 1) * s2])
+        parts.append(b_p1[:, j * s2:(j + 1) * s2])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _shuffle_to_ref(ref, xu, n_rows: int, s2: int):
+    """xu (4C, n_rows*s2) unshuffled -> ref (1, C, 2n*2s2) full-res flat
+    via two strided lane stores (q interleave) after the p row interleave."""
+    c = xu.shape[0] // 4
+    q0 = _interleave_rows(xu[:c], xu[2 * c:3 * c], n_rows, s2)
+    q1 = _interleave_rows(xu[c:2 * c], xu[3 * c:], n_rows, s2)
+    ref[0, :, 0::2] = q0
+    ref[0, :, 1::2] = q1
+
+
+def _transition_kernel_full(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                            w3_ref, b3_ref, x2u_ref, y_ref, *, s2, w_img,
+                            co, c4, th, n_tiles):
+    """Forward full-res-boundary transition: reads full-res flat streams,
+    emits (unshuffle(x2) tile, F(unshuffle(x2)) + unshuffle(x1))."""
+    i = pl.program_id(1)
+    is_top = i == 0
+    is_bottom = i == n_tiles - 1
+    t = th + 2 * HALO
+    dt = x2_ref.dtype
+
+    x = _unshuffle_from_ref(x2_ref, t, s2)
+    # nopad boundary realignment — the window clip happens at full-row
+    # granularity (2x the u-row clip), so after the in-kernel unshuffle
+    # the u-row displacement is exactly HALO, as in the flat nopad path
+    k = HALO * s2
+
+    def shift_fix(xx):
+        down = jnp.concatenate([xx[:, -k:], xx[:, :-k]], 1)
+        up = jnp.concatenate([xx[:, k:], xx[:, :k]], 1)
+        return jnp.where(is_top, down, up)
+
+    x = lax.cond(is_top | is_bottom, shift_fix, lambda xx: xx, x)
+    x1u = _unshuffle_from_ref(x1_ref, th, s2)
+    y = _transition_core(x, x1u, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                         b3_ref, s=s2, w_img=w_img, co=co, c=c4,
+                         is_top=is_top, is_bottom=is_bottom,
+                         inverse=False, dt=dt)
+    x2u_ref[0] = x[:, HALO * s2:(HALO + th) * s2]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _transition_kernel_full_inv(y1_ref, y2_ref, w1_ref, b1_ref, w2_ref,
+                                b2_ref, w3_ref, b3_ref, x1_ref, x2_ref, *,
+                                s2, w_img, co, c4, th, n_tiles):
+    """Inverse: reads half-res unshuffled streams (y1 halo'd), emits the
+    FULL-RES shuffled streams x1 = shuffle(y2 - F(y1)), x2 = shuffle(y1)."""
+    i = pl.program_id(1)
+    is_top = i == 0
+    is_bottom = i == n_tiles - 1
+    dt = y1_ref.dtype
+    k = HALO * s2
+
+    x = y1_ref[0]
+
+    def shift_fix(xx):
+        down = jnp.concatenate([xx[:, -k:], xx[:, :-k]], 1)
+        up = jnp.concatenate([xx[:, k:], xx[:, :k]], 1)
+        return jnp.where(is_top, down, up)
+
+    x = lax.cond(is_top | is_bottom, shift_fix, lambda xx: xx, x)
+    x1u = _transition_core(x, y2_ref[0], w1_ref, b1_ref, w2_ref, b2_ref,
+                           w3_ref, b3_ref, s=s2, w_img=w_img, co=co, c=c4,
+                           is_top=is_top, is_bottom=is_bottom,
+                           inverse=True, dt=dt)
+    _shuffle_to_ref(x1_ref, x1u.astype(x1_ref.dtype), th, s2)
+    _shuffle_to_ref(x2_ref, x[:, HALO * s2:(HALO + th) * s2], th, s2)
+
+
+@partial(jax.jit, static_argnames=("th", "h", "w", "inverse", "interpret"))
+def fused_transition_full(a, b_, packed, h: int, w: int, th: int = 16,
+                          inverse: bool = False, interpret: bool = False):
+    """Fused stride-2 transition with IN-KERNEL pixel (un)shuffle.
+
+    h/w are the HALF-RES dims; requires w % 128 == 0 (zero-copy flat at
+    both resolutions), h % th == 0, th >= HALO, h >= th + 6 (the nopad
+    regime — other shapes route through fused_transition_flat).
+
+    Forward (inverse=False): a = x1 NCHW (B, C, 2h, 2w) full-res,
+    b_ = x2 NCHW; returns (unshuffle(x2) , F(unshuffle(x2)) +
+    unshuffle(x1)) as flat (B, 4C, h*w) pairs — the next stage's
+    (x1f, x2f), already in its zero-copy entry layout.
+
+    Inverse: a = y2 flat (B, 4C, h*w), b_ = y1 flat; returns
+    (x1, x2) = (shuffle(y2 - F(y1)), shuffle(y1)) as NCHW full-res."""
+    assert h % th == 0 and th >= HALO and h >= th + 2 * HALO, (h, th)
+    assert w % 128 == 0, f"full-boundary transition needs w%128==0, got {w}"
+    s2 = row_stride(w)
+    assert s2 == w
+    n_tiles = h // th
+    t = th + 2 * HALO
+    el = pl.Element
+    wf = 2 * w
+
+    if not inverse:
+        x1, x2 = a, b_
+        bsz, c = x1.shape[0], x1.shape[1]
+        x1f = x1.reshape(bsz, c, 2 * h * wf)
+        x2f = x2.reshape(bsz, c, 2 * h * wf)
+        kernel = partial(_transition_kernel_full, s2=s2, w_img=w,
+                         co=col_offset(w), c4=4 * c, th=th, n_tiles=n_tiles)
+        out = jax.ShapeDtypeStruct((bsz, 4 * c, h * w), x1.dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (el(1), el(c), el(2 * t * wf)),
+                    lambda bb, ii: (
+                        bb, 0,
+                        2 * jnp.clip(ii * th - HALO, 0, h - t) * wf),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (el(1), el(c), el(2 * th * wf)),
+                    lambda bb, ii: (bb, 0, 2 * ii * th * wf),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((el(1), el(4 * c), el(th * s2)),
+                             lambda bb, ii: (bb, 0, ii * th * s2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((el(1), el(4 * c), el(th * s2)),
+                             lambda bb, ii: (bb, 0, ii * th * s2),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[out, out],
+            interpret=interpret,
+        )(x2f, x1f, packed["w1"], packed["b1"], packed["w2"], packed["b2"],
+          packed["w3"], packed["b3"])
+
+    y2, y1 = a, b_
+    bsz, c4 = y1.shape[0], y1.shape[1]
+    c = c4 // 4
+    kernel = partial(_transition_kernel_full_inv, s2=s2, w_img=w,
+                     co=col_offset(w), c4=c4, th=th, n_tiles=n_tiles)
+    out = jax.ShapeDtypeStruct((bsz, c, 2 * h * wf), y1.dtype)
+    x1f, x2f = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (el(1), el(c4), el(t * s2)),
+                lambda bb, ii: (
+                    bb, 0, jnp.clip(ii * th - HALO, 0, h - t) * s2),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((el(1), el(c4), el(th * s2)),
+                         lambda bb, ii: (bb, 0, ii * th * s2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((el(1), el(c), el(2 * th * wf)),
+                         lambda bb, ii: (bb, 0, 2 * ii * th * wf),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((el(1), el(c), el(2 * th * wf)),
+                         lambda bb, ii: (bb, 0, 2 * ii * th * wf),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out, out],
+        interpret=interpret,
+    )(y1, y2, packed["w1"], packed["b1"], packed["w2"], packed["b2"],
+      packed["w3"], packed["b3"])
+    return (x1f.reshape(bsz, c, 2 * h, wf),
+            x2f.reshape(bsz, c, 2 * h, wf))
