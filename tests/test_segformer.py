@@ -379,3 +379,101 @@ def test_pick_seg_size_falls_back_to_native(rng):
     got = pick_seg_size(None, frames, candidates=(256,),
                         segment_fn=noisy_fn)
     assert got == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused MixFFN dwconv+bias+GELU kernel (ops/dwconv.py)
+# ---------------------------------------------------------------------------
+
+def test_erf_approx_accuracy():
+    from vstnet_tpu.ops.dwconv import _erf_f32
+
+    import scipy.special as sp
+
+    x = jnp.asarray(np.linspace(-5, 5, 4001), jnp.float32)
+    got = np.asarray(_erf_f32(x))
+    ref = sp.erf(np.linspace(-5, 5, 4001))
+    assert np.max(np.abs(got - ref)) < 2e-6
+
+
+@pytest.mark.parametrize("b,h,w,c", [
+    (2, 16, 16, 128),   # single-tile route
+    (1, 32, 8, 256),    # multi-tile (budget forced below)
+])
+def test_dwconv_gelu_kernel_parity(rng, b, h, w, c):
+    """Fused kernel == XLA depthwise SAME conv + bias + exact GELU (torch
+    zero-pad semantics), f32, top/interior/bottom tiles."""
+    import vstnet_tpu.ops.dwconv as dw
+
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST) + bias
+    ref = jax.nn.gelu(ref, approximate=False)
+
+    got = dw.dwconv3x3_bias_gelu(x, wgt, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-6)
+
+
+def test_dwconv_gelu_multitile_matches_single(rng, monkeypatch):
+    """Shrink the VMEM budget so the kernel tiles rows (clip + shift +
+    zero-halo masking paths) and compare against the single-tile result."""
+    import vstnet_tpu.ops.dwconv as dw
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 8, 128)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 1, 128)) * 0.3,
+                      jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    whole = np.asarray(dw.dwconv3x3_bias_gelu(x, wgt, bias,
+                                              interpret=True))
+    monkeypatch.setattr(dw, "VMEM_BUDGET", 8 * 128 * 2 * 3 * 8)  # 8 rows
+    # the budget is read at trace time — drop the cached executable
+    dw.dwconv3x3_bias_gelu.clear_cache()
+    try:
+        tiled = np.asarray(dw.dwconv3x3_bias_gelu(x, wgt, bias,
+                                                  interpret=True))
+    finally:
+        dw.dwconv3x3_bias_gelu.clear_cache()
+    np.testing.assert_array_equal(tiled, whole)
+
+
+def test_mlp_bf16_routes_fused_kernel(rng, monkeypatch):
+    """The bf16 MixFFN must call the fused kernel (and match the XLA ops
+    at bf16 tolerance)."""
+    from vstnet_tpu.models import segformer as sf
+    from vstnet_tpu.ops import dwconv as dw
+
+    calls = []
+    orig = dw.dwconv3x3_bias_gelu
+
+    def spy(x, w, b, interpret=False):
+        calls.append(x.shape)
+        return orig(x, w, b, interpret=True)
+
+    monkeypatch.setattr(dw, "dwconv3x3_bias_gelu", spy)
+
+    c = 128
+    p = {"fc1": {"w": jnp.asarray(rng.standard_normal((32, c)) * 0.1,
+                                  jnp.float32),
+                 "b": jnp.zeros((c,), jnp.float32)},
+         "dw": {"w": jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.3,
+                                 jnp.float32),
+                "b": jnp.zeros((c,), jnp.float32)},
+         "fc2": {"w": jnp.asarray(rng.standard_normal((c, 32)) * 0.1,
+                                  jnp.float32),
+                 "b": jnp.zeros((32,), jnp.float32)}}
+    x32 = jnp.asarray(rng.standard_normal((1, 64, 32)), jnp.float32)
+
+    ref = np.asarray(sf._mlp(x32, p, 8, 8))            # f32: XLA ops
+    assert not calls
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    got = np.asarray(sf._mlp(x32.astype(jnp.bfloat16), p16, 8, 8)
+                     ).astype(np.float32)
+    assert calls and calls[0] == (1, 8, 8, c)
+    cos = float((ref.ravel() @ got.ravel())
+                / (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-9))
+    assert cos > 0.99

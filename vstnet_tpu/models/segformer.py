@@ -25,6 +25,7 @@ convert via segformer_from_torch below.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, Optional
 
@@ -34,6 +35,10 @@ import numpy as np
 from jax import lax
 
 from vstnet_tpu.ops.resize import pad_to_multiple, resize_bilinear
+
+# fused dwconv+bias+GELU MixFFN kernel on the bf16 path (ops/dwconv.py);
+# VSTNET_DW_FUSE=0 reverts to the XLA ops
+_DW_FUSE = os.environ.get("VSTNET_DW_FUSE", "1") != "0"
 
 EMBED_DIMS = (64, 128, 320, 512)
 NUM_HEADS = (1, 2, 5, 8)
@@ -139,11 +144,22 @@ def _attention(x, p, h, w, num_heads, sr_ratio):
 
 
 def _mlp(x, p, h, w):
-    """Mix-FFN: fc1 -> 3x3 depthwise conv -> GELU -> fc2 (segment.py:26-41)."""
+    """Mix-FFN: fc1 -> 3x3 depthwise conv -> GELU -> fc2 (segment.py:26-41).
+
+    bf16 routes the fused dwconv+bias+GELU Pallas kernel (ops/dwconv.py):
+    the depthwise conv never touches the MXU — it is 9 shifted
+    multiply-adds — and fusing the GELU removes an HBM round trip over
+    the widest activation in the network. The f32 path keeps the XLA ops
+    (strict parity gates)."""
     b, n, _ = x.shape
     x = _linear(x, p["fc1"])
     c = x.shape[-1]
     xs = x.reshape(b, h, w, c)
+    if x.dtype == jnp.bfloat16 and c % 128 == 0 and _DW_FUSE:
+        from vstnet_tpu.ops.dwconv import dwconv3x3_bias_gelu
+
+        xs = dwconv3x3_bias_gelu(xs, p["dw"]["w"], p["dw"]["b"])
+        return _linear(xs.reshape(b, n, c), p["fc2"])
     xs = _conv(xs, p["dw"], padding="SAME", groups=c)
     x = xs.reshape(b, n, c)
     x = jax.nn.gelu(x, approximate=False)
