@@ -67,13 +67,12 @@ TR_FUSE_MAX_CHANNELS = 256
 # Both forms are packed; encode/decode route per batch.
 TR_FUSE_MAX_BATCH = 64
 # Full-res-boundary transition route: the pixel (un)shuffle runs INSIDE
-# the kernel (coupling_flat.fused_transition_full — strided lane
-# loads/stores + aligned segment concats on VMEM-resident data), so the
+# the kernel (coupling_flat.fused_transition_full — lane-permutation
+# dots + aligned segment concats on VMEM-resident data), so the
 # XLA-side 6D phase transposes that caused the B256 regression never
 # exist and the batch cap above does not apply. Requires the zero-copy
-# regime (half-res width % 128 == 0). Gated by env until validated on
-# hardware: VSTNET_TR_FULL=0 disables, =1 enables.
-TR_FULL_FUSE = os.environ.get("VSTNET_TR_FULL", "0") == "1"
+# regime (half-res width % 128 == 0). Env kill switch: VSTNET_TR_FULL=0.
+TR_FULL_FUSE = os.environ.get("VSTNET_TR_FULL", "1") != "0"
 # VMEM budget for picking the row-tile size (v5e ~16 MB/core).
 VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -267,13 +266,18 @@ def _tr_tile(x1, h, w, th_run, nopad):
 def _tr_full_th(h: int, w: int, cu: int, nbytes: int = 2):
     """Tile height for the full-res-boundary transition, or None when the
     route doesn't apply (h/w are the HALF-res dims, cu = 4C). Budget: the
-    half-res working set of pick_tile_tr plus ~2 extra stream copies for
-    the in-kernel (de)interleave values."""
+    half-res working set of pick_tile_tr plus the in-kernel (de)interleave
+    values — sublane-stacked full rows, the f32 permutation-dot output,
+    and the (2w)² lane-permutation matrix itself (a constant, charged
+    against the limit)."""
     if not TR_FULL_FUSE or w % 128 != 0:
         return None
     s = row_stride(w)
-    per_row = s * cu * (8 * nbytes + 8)
-    cap = max(VMEM_LIMIT_TR // per_row - 6, 1)
+    per_row = s * cu * (10 * nbytes + 16)
+    limit = VMEM_LIMIT_TR - (2 * w) * (2 * w) * nbytes
+    if limit <= 0:
+        return None
+    cap = max(limit // per_row - 6, 1)
     for th in range(min(h, cap, 128), HALO - 1, -1):
         if h % th == 0 and h >= th + 2 * HALO:
             return th
@@ -290,12 +294,18 @@ def _fused_stage_forward(x1, x2, blocks, h, w, tr=None):
     if tr is not None and x1.shape[2] == 2 * h:
         nbytes = 2 if x1.dtype == jnp.bfloat16 else 4
         th_f = _tr_full_th(h, w, 4 * x1.shape[1], nbytes)
-        x1f, x2f = fused_transition_full(x1, x2, tr["packed_tr"], h, w,
-                                         th=th_f)
-        b, c4 = x1f.shape[0], x1f.shape[1]
-        x1 = x1f.reshape(b, c4, h, w)  # free: nopad flat == NCHW bytes
-        x2 = x2f.reshape(b, c4, h, w)
-        tr = None
+        if th_f is None:
+            # callers pre-check with the same nbytes, so this is only a
+            # safety net: fall back to the legacy half-res entry
+            x1 = pixel_unshuffle_nchw(x1)
+            x2 = pixel_unshuffle_nchw(x2)
+        else:
+            x1f, x2f = fused_transition_full(x1, x2, tr["packed_tr"], h, w,
+                                             th=th_f)
+            b, c4 = x1f.shape[0], x1f.shape[1]
+            x1 = x1f.reshape(b, c4, h, w)  # free: nopad flat == NCHW bytes
+            x2 = x2f.reshape(b, c4, h, w)
+            tr = None
     b, c = x1.shape[0], x1.shape[1]
     th, nopad = _pick_route(x1, h, w)
     if nopad:
@@ -366,7 +376,7 @@ def _block_inverse_nchw(y1, y2, bp, stride):
     return x1, x2
 
 
-def _segments(fast_params, plan, batch: int, hw=None):
+def _segments(fast_params, plan, batch: int, hw=None, nbytes: int = 2):
     """Group the block plan into runs: ("nchw", None, [(bp, stride)...])
     or ("fused", tr_bp_or_None, [stride-1 bps...]). A fused stride-2
     transition STARTS a fused run — it changes resolution, and the
@@ -383,7 +393,8 @@ def _segments(fast_params, plan, batch: int, hw=None):
         if stride == 2 and h:
             h, w = h // 2, w // 2  # resolution AFTER this transition
         tr_fuse = batch <= TR_FUSE_MAX_BATCH or (
-            stride == 2 and h > 0 and _tr_full_th(h, w, ch) is not None)
+            stride == 2 and h > 0
+            and _tr_full_th(h, w, ch, nbytes) is not None)
         if "packed_tr" in bp and tr_fuse:
             runs.append(["fused", bp, []])
         elif "packed" in bp:
@@ -417,11 +428,13 @@ def encode_fast(fast_params: Dict, x, cfg: RevResNetConfig,
     x1, x2 = x[:, :n], x[:, n:]
 
     hw0 = (x.shape[2], x.shape[3])
-    for kind, tr, blocks in _segments(fast_params, plan, x.shape[0], hw0):
+    nbytes = 2 if x.dtype == jnp.bfloat16 else 4
+    for kind, tr, blocks in _segments(fast_params, plan, x.shape[0], hw0,
+                                      nbytes):
         if kind == "fused":
             if tr is not None:
                 hh, hw = x1.shape[2] // 2, x1.shape[3] // 2
-                if _tr_full_th(hh, hw, 4 * x1.shape[1]) is None:
+                if _tr_full_th(hh, hw, 4 * x1.shape[1], nbytes) is None:
                     # legacy route: unshuffle in XLA, half-res kernel
                     x1 = pixel_unshuffle_nchw(x1)
                     x2 = pixel_unshuffle_nchw(x2)
@@ -478,8 +491,9 @@ def decode_fast(fast_params: Dict, z, cfg: RevResNetConfig,
     x1, x2 = x[:, :n], x[:, n:]
     # full input resolution for the route decision (stage3 runs at 1/4)
     hw0 = (x1.shape[2] * 4, x1.shape[3] * 4)
+    nbytes = 2 if x.dtype == jnp.bfloat16 else 4
     for kind, tr, blocks in reversed(_segments(fast_params, plan,
-                                                x.shape[0], hw0)):
+                                                x.shape[0], hw0, nbytes)):
         if kind == "fused":
             h, w = x1.shape[2], x1.shape[3]
             x1, x2 = _fused_stage_inverse(x1, x2, blocks, h, w, tr=tr)

@@ -585,32 +585,64 @@ def fused_coupling_flat(x1f, x2f, packed, h: int, w: int, th: int = 64,
 # are real HBM copies that cannot fuse through the custom-call boundary
 # (the documented cause of the B256 fused-transition regression, PERF.md);
 # here the kernel reads the FULL-RES flat stream (a zero-copy reshape of
-# NCHW for 128-multiple widths), deinterleaves the q phase with strided
-# ref loads (tpu.strided_load: per-element stride 2 on the lane axis) and
-# the p phase with aligned S-lane segment concats — all on VMEM-resident
-# data the conv had to read anyway — and emits the half-res unshuffled
-# layout the following stage consumes. The inverse emits full-res via
-# strided stores. Semantics == pixel_unshuffle_nchw ∘ fused_transition_flat
-# (tests assert exact equality in f32).
+# NCHW for 128-multiple widths) and does the (un)shuffle in-VMEM. The q
+# (lane) phase split is a fixed per-row lane permutation, computed as a
+# PERMUTATION-MATRIX DOT on the MXU: Mosaic refuses strided lane
+# loads/stores on long flat memrefs ("last dim size is not 128 in
+# original base memref", hardware round-5 finding), but a (w2, w2)
+# 0/1-matrix contraction is bread-and-butter — and EXACT, since every
+# output column has exactly one nonzero (bf16 1.0 products are exact;
+# the f32 path dots at Precision.HIGHEST whose bf16x3 operand split is
+# exact for 1.0 multiplies). Full rows are stacked on sublanes so all
+# rows permute in ONE fat MXU dot. The p (row) phase split is aligned
+# lane-segment concats. Semantics == pixel_unshuffle_nchw ∘
+# fused_transition_flat (tests assert exact equality in f32).
 # ---------------------------------------------------------------------------
 
-def _deinterleave_rows(sel, n_rows: int, s2: int, p: int):
-    """(C, 2*n_rows*s2) -> (C, n_rows*s2): keep row segments 2j+p."""
-    return jnp.concatenate(
-        [sel[:, (2 * j + p) * s2:(2 * j + p + 1) * s2]
-         for j in range(n_rows)], axis=1)
+def _q_perm(w2: int, dtype, inverse: bool = False):
+    """(w2, w2) lane-permutation matrix P[r, m] = (r == sel(m)).
+
+    Forward: out column m < s takes lane 2m (q=0), column s+m takes lane
+    2m+1 (q=1) — deinterleave into [evens | odds] halves. Inverse: out
+    lane l takes stacked lane l//2 + (l%2)*s — re-interleave."""
+    r = lax.broadcasted_iota(jnp.int32, (w2, w2), 0)
+    m = lax.broadcasted_iota(jnp.int32, (w2, w2), 1)
+    s = w2 // 2
+    if inverse:
+        sel = m // 2 + (m % 2) * s
+    else:
+        sel = jnp.where(m < s, 2 * m, 2 * (m - s) + 1)
+    return (r == sel).astype(dtype)
+
+
+def _perm_precision(dtype):
+    return (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
 
 
 def _unshuffle_from_ref(ref, n_rows: int, s2: int):
     """ref (1, C, n_rows*2 * s2*2) full-res flat window -> (4C, n_rows*s2)
     unshuffled, channel order [p][q][ci] (pixel_unshuffle_nchw's)."""
-    xe = ref[0, :, 0::2]   # strided lane load: q = 0 columns
-    xo = ref[0, :, 1::2]   # q = 1
-    return jnp.concatenate([
-        _deinterleave_rows(xe, n_rows, s2, 0),
-        _deinterleave_rows(xo, n_rows, s2, 0),
-        _deinterleave_rows(xe, n_rows, s2, 1),
-        _deinterleave_rows(xo, n_rows, s2, 1)], axis=0)
+    x = ref[0]                       # (C, 2*n_rows * 2*s2)
+    c = x.shape[0]
+    w2 = 2 * s2
+    # stack the 2*n_rows full rows on sublanes -> (2n*C, w2)
+    rows = jnp.concatenate(
+        [x[:, r * w2:(r + 1) * w2] for r in range(2 * n_rows)], axis=0)
+    d = lax.dot_general(
+        rows, _q_perm(w2, rows.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_perm_precision(rows.dtype)).astype(x.dtype)
+    qe, qo = d[:, :s2], d[:, s2:]    # (2n*C, s2) each
+
+    def grp(q, p):
+        # rows with parity p, re-laid as lane segments -> (C, n*s2)
+        return jnp.concatenate(
+            [q[(2 * j + p) * c:(2 * j + p + 1) * c] for j in range(n_rows)],
+            axis=1)
+
+    return jnp.concatenate(
+        [grp(qe, 0), grp(qo, 0), grp(qe, 1), grp(qo, 1)], axis=0)
 
 
 def _interleave_rows(b_p0, b_p1, n_rows: int, s2: int):
@@ -623,13 +655,24 @@ def _interleave_rows(b_p0, b_p1, n_rows: int, s2: int):
 
 
 def _shuffle_to_ref(ref, xu, n_rows: int, s2: int):
-    """xu (4C, n_rows*s2) unshuffled -> ref (1, C, 2n*2s2) full-res flat
-    via two strided lane stores (q interleave) after the p row interleave."""
+    """xu (4C, n_rows*s2) unshuffled -> ref (1, C, 2n*2s2) full-res flat:
+    p row interleave (lane segments), then the q lane interleave as the
+    inverse permutation dot on sublane-stacked full rows."""
     c = xu.shape[0] // 4
     q0 = _interleave_rows(xu[:c], xu[2 * c:3 * c], n_rows, s2)
     q1 = _interleave_rows(xu[c:2 * c], xu[3 * c:], n_rows, s2)
-    ref[0, :, 0::2] = q0
-    ref[0, :, 1::2] = q1
+    w2 = 2 * s2
+    # stack rows as [q0_row | q1_row] on sublanes -> (2n*C, w2)
+    rows = jnp.concatenate(
+        [jnp.concatenate([q0[:, r * s2:(r + 1) * s2],
+                          q1[:, r * s2:(r + 1) * s2]], axis=1)
+         for r in range(2 * n_rows)], axis=0)
+    d = lax.dot_general(
+        rows, _q_perm(w2, rows.dtype, inverse=True), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_perm_precision(rows.dtype)).astype(xu.dtype)
+    ref[0] = jnp.concatenate(
+        [d[r * c:(r + 1) * c] for r in range(2 * n_rows)], axis=1)
 
 
 def _transition_kernel_full(x2_ref, x1_ref, w1_ref, b1_ref, w2_ref, b2_ref,

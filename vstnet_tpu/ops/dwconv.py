@@ -28,8 +28,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# live block budget for the row-tile choice: in block + f32 acc + out
-VMEM_BUDGET = 10 * 1024 * 1024
+# Row-tile VMEM budget. Mosaic's scoped-stack accounting charges the
+# PEAK of all live values — measured 23.94 MB for a whole-image 64x64x256
+# tile (hardware compile error, round 5): ~24 B/element = x window (2) +
+# zero-pad concat copy (2) + f32 acc (4) + f32 tap (4) + GELU f32
+# temporaries (~8) + out (2). Budget 24 B/element against a 14 MB target
+# (v5e scoped limit is 16 MB); verified on v5e.
+VMEM_BUDGET = 14 * 1024 * 1024
+BYTES_PER_ELEM = 24
 
 
 def _erf_f32(x):
@@ -116,7 +122,7 @@ def dwconv3x3_bias_gelu(x, w, b, interpret: bool = False):
     if w.ndim == 4:  # HWIO depthwise (3, 3, 1, C)
         w = w.reshape(3, 3, c)
     # row tile: whole image when small, else ~VMEM-budgeted divisor
-    budget_rows = max(VMEM_BUDGET // max(wf * c * 2 * 3, 1), 1)
+    budget_rows = max(VMEM_BUDGET // max(wf * c * BYTES_PER_ELEM, 1), 1)
     th = hh
     if hh > budget_rows:
         th = 1
