@@ -87,6 +87,9 @@ def main():
     ls, mu_s = factors(fast, style)
     for full in (False, True):
         rf.TR_FULL_FUSE = full
+        # fresh jit per flag: TR_FULL_FUSE is read at trace time, and a
+        # shared jit would silently reuse the first flag's executables
+        stylize_chain = jax.jit(stylize_chain.__wrapped__)
         for batch in batches:
             frames = jnp.asarray(
                 rng.uniform(size=(batch, 512, 512, 3)), dtype)
