@@ -33,13 +33,16 @@ def run_roundtrip(fast, x, cfg):
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [16, 64, 256]
+    perf_only = "--perf_only" in sys.argv
+    batches = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [
+        16, 64, 128, 256]
     cfg = PHOTO_CONFIG
     rng = np.random.default_rng(0)
     params = init_revresnet(jax.random.PRNGKey(0), cfg)
 
     # ---- parity (f32, strict; then bf16 sanity) ----
-    for dtype, tol in ((jnp.float32, 5e-5), (jnp.bfloat16, 3e-2)):
+    for dtype, tol in (() if perf_only else
+                       ((jnp.float32, 5e-5), (jnp.bfloat16, 3e-2))):
         fast = rf.pack_revresnet(params, cfg, dtype=dtype)
         x = jnp.asarray(rng.uniform(size=(4, 512, 512, 3)), dtype)
         rf.TR_FULL_FUSE = False
@@ -93,13 +96,17 @@ def main():
         for batch in batches:
             frames = jnp.asarray(
                 rng.uniform(size=(batch, 512, 512, 3)), dtype)
+            # host-readback fence: block_until_ready LIES on the axon
+            # relay (PERF.md) — feed the output back as the next input so
+            # iterations chain, and read one element back per rep
             out = stylize_chain(fast, frames, ls, mu_s)
-            out.block_until_ready()
-            reps = max(1, 256 // (ITERS * batch))
+            _ = np.asarray(out[0, 0, 0])
+            reps = max(2, 512 // (ITERS * batch))
             t0 = time.perf_counter()
+            x = out
             for _ in range(reps):
-                out = stylize_chain(fast, frames, ls, mu_s)
-            out.block_until_ready()
+                x = stylize_chain(fast, x, ls, mu_s)
+            _ = np.asarray(x[0, 0, 0])
             dt = time.perf_counter() - t0
             fps = reps * ITERS * batch / dt
             print(f"TR_FULL={int(full)} B={batch:4d}: {fps:8.1f} fps/chip")
