@@ -51,9 +51,16 @@ from vstnet_tpu.ops.coupling_flat import (
     row_stride,
 )
 
-# Fuse stride-1 blocks whose stream channel count is at most this; fatter
-# stages run XLA (see module docstring).
-FUSE_MAX_CHANNELS = 64
+# Fuse stride-1 blocks whose stream channel count is at most this.
+# 256 since round 5: with the transitions running in-kernel (TR_FULL),
+# fusing stage3 + reduction removes the last XLA conv segment and its
+# layout-reconciliation copies at the custom-call borders — measured
+# 148.1 -> 166.8 fps/chip @B128 512² (163.8-166.9 at EVERY batch 16-256;
+# the batch dependence collapses once the network is kernel-resident).
+# Round 4 measured the same routing at -3% — that was BEFORE TR_FULL,
+# when the pallas boundary forced the stride-2 phase transposes to
+# materialize on both sides. Env kill switch: VSTNET_FUSE_MAX_CH.
+FUSE_MAX_CHANNELS = int(os.environ.get("VSTNET_FUSE_MAX_CH", "256"))
 # Fuse stride-2 transition blocks whose UNSHUFFLED stream channel count is
 # at most this (the kernel runs at half resolution on the unshuffled
 # streams — ops/coupling_flat.py transition section; XLA runs the
@@ -93,10 +100,16 @@ def pick_tile(h: int, c: int, w: int, dtype_bytes: int = 2,
     if c >= 128:
         # conv3 runs split-ky here (ops/coupling_flat.py:_conv_flat):
         # the f32 dot peak is one per-tap (C, L) block + the (C, L-2S)
-        # accumulator, not the unsplit (3*C, L) — budgeting the smaller
-        # footprint is what lets wide-channel routes take bigger row
-        # tiles (the documented point of split-ky)
-        per_row = s * (3 * c * dtype_bytes + 2 * c * 4)
+        # accumulator, not the unsplit (3*C, L). Calibrated against
+        # Mosaic's measured scoped stack (hardware round-5): bf16 c=256
+        # needs ~c*18 B/lane-row (16.43 MB at th=8, s=256 — the padded
+        # 768² route FAILED under the old c*14 model), and f32 ~c*37
+        # (16.87 MB at th=8, s=128: Precision.HIGHEST triples the
+        # operand copies via the bf16x3 split). Model: 3 stream taps
+        # (x3 for f32 HIGHEST) + 2 f32 accumulator blocks + one
+        # activation-sized slack block.
+        mult = 3 if dtype_bytes == 4 else 1
+        per_row = s * c * (3 * dtype_bytes * mult + 2 * 4 + 4)
     else:
         # peak ~ shift stack (3*Cin) in act dtype + dot output (3*Mp)
         # f32, whichever conv is widest (validated against what Mosaic
@@ -147,15 +160,23 @@ def pick_tile_tr(h: int, cu: int, w: int, dtype_bytes: int = 2,
 
 def pack_revresnet(params: Dict, cfg: RevResNetConfig, dtype=None) -> Dict:
     """Standard params pytree -> fast-path pytree: stride-1 branches packed
-    for the fused flat kernel; others kept HWIO for the XLA path."""
+    for the fused flat kernel; others kept HWIO for the XLA path.
+
+    The wide-channel (>64) fuse cap applies to the bf16 fast path only:
+    f32 is the fidelity tier whose stage3/reduction stay on XLA's
+    Precision.HIGHEST convs (the parity-gated round-4 routing) — and the
+    f32 c=256 kernel working set measurably overflows the 16 MB scoped
+    VMEM limit at production shapes (hardware round-5 finding)."""
     plan = cfg.block_plan()
 
     def cvt(tree):
         return jax.tree.map(lambda a: a.astype(dtype), tree) if dtype else tree
 
+    fuse_max = (FUSE_MAX_CHANNELS if dtype == jnp.bfloat16
+                else min(FUSE_MAX_CHANNELS, 64))
     stack = []
     for bp, (ch, stride) in zip(params["stack"], plan):
-        if stride == 1 and ch <= FUSE_MAX_CHANNELS:
+        if stride == 1 and ch <= fuse_max:
             stack.append({"packed": cvt(pack_branch_weights_flat(bp))})
         elif stride == 2 and ch <= TR_FUSE_MAX_CHANNELS:
             # both forms: encode/decode route by batch (TR_FUSE_MAX_BATCH)
@@ -166,7 +187,7 @@ def pack_revresnet(params: Dict, cfg: RevResNetConfig, dtype=None) -> Dict:
     red_ch = cfg.hidden_dim * 4 ** cfg.sp_steps
     reduction = [
         {"packed": cvt(pack_branch_weights_flat(bp))}
-        if red_ch <= FUSE_MAX_CHANNELS else {"raw": cvt(bp)}
+        if red_ch <= fuse_max else {"raw": cvt(bp)}
         for bp in params["reduction"]
     ]
     return {"stack": stack, "reduction": reduction}
