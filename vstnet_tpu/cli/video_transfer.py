@@ -51,9 +51,10 @@ def build_parser():
     p.add_argument("--fps", type=int, default=10)
     p.add_argument("--batch", type=int, default=8,
                    help="frames per device step (scaled by the local "
-                        "device count when >1 chip is visible); 8 favors "
-                        "latency — the measured per-chip throughput peak "
-                        "is 128 @512² (PERF.md batch table)")
+                        "device count when >1 chip is visible); per-chip "
+                        "throughput is batch-flat under the kernel-"
+                        "resident bf16 path (PERF.md round-5), so the "
+                        "small default costs nothing")
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "f32"],
                    help="bf16 runs the fused Pallas fast path (>=55 dB "
