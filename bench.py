@@ -144,8 +144,10 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(best / 5.0, 2),
         "detail": {"batch": best_batch, "dtype": "bfloat16",
-                   "pipeline": "fused flat Pallas encode+decode, "
-                               "packed-latent cWCT"},
+                   "pipeline": "kernel-resident bf16 network (fused flat "
+                               "Pallas blocks + in-kernel-unshuffle "
+                               "transitions + fused stage3/reduction), "
+                               "packed-latent cWCT; batch-flat B16-B256"},
     }))
 
 
