@@ -21,9 +21,14 @@ import time
 import numpy as np
 
 
+_LOCAL_RECORD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+
+
 def _last_measured() -> str:
-    """Most recent recorded result (newest BENCH_r*.json in the repo) —
-    derived, so it cannot go stale when perf moves."""
+    """Most recent recorded result — the newest BENCH_r*.json, or the
+    session-local record a successful run leaves behind (whichever is
+    newer by mtime) — derived, so it cannot go stale when perf moves."""
     import glob
     import re
 
@@ -33,16 +38,21 @@ def _last_measured() -> str:
         m = re.search(r"BENCH_r(\d+)", p)
         if m and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), p)
-    if best is None:
+    path = best[1] if best else None
+    if os.path.exists(_LOCAL_RECORD) and (
+            path is None
+            or os.path.getmtime(_LOCAL_RECORD) > os.path.getmtime(path)):
+        path = _LOCAL_RECORD
+    if path is None:
         return "no prior BENCH file"
     try:
-        with open(best[1]) as f:
+        with open(path) as f:
             rec = json.load(f)
         rec = rec.get("parsed", rec)  # driver wraps the JSON line
         return (f"{rec.get('value')} {rec.get('unit', '')} "
-                f"(BENCH_r{best[0]:02d}.json)").strip()
+                f"({os.path.basename(path)})").strip()
     except Exception as e:  # pragma: no cover - diagnostics only
-        return f"unreadable {os.path.basename(best[1])}: {e}"
+        return f"unreadable {os.path.basename(path)}: {e}"
 
 
 def _init_watchdog(seconds: float) -> threading.Event:
@@ -138,7 +148,7 @@ def main():
         if fps > best:
             best, best_batch = fps, batch
 
-    print(json.dumps({
+    record = {
         "metric": "stylized_512px_frames_per_sec_per_chip",
         "value": round(best, 2),
         "unit": "frames/sec",
@@ -148,8 +158,34 @@ def main():
                                "Pallas blocks + in-kernel-unshuffle "
                                "transitions + fused stage3/reduction), "
                                "packed-latent cWCT; batch-flat B16-B256"},
-    }))
+    }
+    print(json.dumps(record))
+    try:  # session-local record: the outage fallback's "last_measured"
+        with open(_LOCAL_RECORD, "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass
+
+
+def _main_guarded():
+    """The init watchdog covers a HANGING relay; a CRASHED relay instead
+    raises (observed: FAILED_PRECONDITION TPU backend error on every op
+    after a mid-run relay failure, round 5). Either way the driver
+    contract is one JSON line — report an honest zero with the error."""
+    try:
+        main()
+    except Exception as e:  # backend/runtime failure, not a code bug
+        print(json.dumps({
+            "metric": "stylized_512px_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": 0.0,
+            "detail": {
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+                "last_measured": _last_measured(),
+            },
+        }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    _main_guarded()
